@@ -1,0 +1,116 @@
+package graft.ddi
+
+import graft.core.{GoldSpan, ParsedSentence, Relation, Tok}
+import graft.ner.{MnbParams, Train}
+import graft.core.Tokenize
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** DDI relation extraction over the 4 SemEval-2013 interaction classes
+  * {mechanism, effect, advise, int} + implicit "none".
+  *
+  * The reference snapshot ships only the evaluator CONTRACT for this
+  * stage (ml/evaluator.py:50-76: key = sid|e1|e2, class = pair type for
+  * ddi="true" pairs); the classifier itself is ours. Design: the same
+  * closed-form Multinomial NB used for NER (SURVEY A5), over deterministic
+  * lexical features of the token window between/around the two entities —
+  * fully reproducible, trained with one hash aggregation, broadcast for
+  * scoring.
+  *
+  * Candidates are the sentence's `<pair>` elements (entity spans are
+  * given input annotations in the DDI task; the evaluator keys on their
+  * ids, so candidate generation from raw text could never match keys).
+  */
+object Relations {
+
+  final case class PairExample(
+      repo: String,
+      sid: String,
+      e1: String,
+      e2: String,
+      feats: Seq[String],
+      label: String
+  )
+
+  /** Count bucket for the inter-entity token distance. */
+  private def distBucket(n: Int): String =
+    if (n == 0) "0" else if (n <= 3) "1-3" else if (n <= 7) "4-7" else "8+"
+
+  /** Deterministic lexical features for one candidate pair. Tokens are
+    * the sentence's reference tokenization; e1/e2 located by first-span
+    * char offsets.
+    */
+  def pairFeatures(
+      toks: IndexedSeq[Tok],
+      e1: GoldSpan,
+      e2: GoldSpan
+  ): Seq[String] = {
+    val (lo, hi) = if (e1.start <= e2.start) (e1, e2) else (e2, e1)
+    val mid = toks.filter(t => t.start > lo.end && t.end < hi.start)
+    val before = toks.filter(_.end < lo.start).takeRight(2)
+    val after = toks.filter(_.start > hi.end).take(2)
+    val b = Vector.newBuilder[String]
+    mid.foreach(t => b += ("mid=" + t.form.toLowerCase))
+    before.foreach(t => b += ("bef=" + t.form.toLowerCase))
+    after.foreach(t => b += ("aft=" + t.form.toLowerCase))
+    b += ("ndist=" + distBucket(mid.length))
+    b += ("e1t=" + lo.etype)
+    b += ("e2t=" + hi.etype)
+    b.result()
+  }
+
+  /** All labeled pair examples of a corpus (label = pair type, or "none"
+    * for ddi="false"). Tokenization happens here, per sentence, inside
+    * the flatMap — shuffle-free.
+    */
+  def examples(
+      spark: SparkSession,
+      sents: Dataset[ParsedSentence]
+  ): Dataset[PairExample] = {
+    import spark.implicits._
+    sents.flatMap { s =>
+      if (s.pairs.isEmpty) Iterator.empty
+      else {
+        val toks = Tokenize.tokenize(s.text)
+        val byId = s.entities.map(e => e.entityId -> e).toMap
+        s.pairs.iterator.flatMap { p =>
+          for (e1 <- byId.get(p.e1); e2 <- byId.get(p.e2)) yield PairExample(
+            s.repo,
+            s.sid,
+            p.e1,
+            p.e2,
+            pairFeatures(toks, e1, e2),
+            p.dtype.getOrElse(if (p.ddi) "int" else "none")
+          )
+        }
+      }
+    }
+  }
+
+  /** Fit the DDI classifier: shared MNB core over pair features. */
+  def fit(spark: SparkSession, sents: Dataset[ParsedSentence], minFreq: Long = 1L): MnbParams = {
+    import spark.implicits._
+    Train.fitMnbRaw(spark, examples(spark, sents).map(e => (e.feats, e.label)), minFreq)
+  }
+
+  /** Score candidate pairs; keep predicted interactions (label != none).
+    * MnbParams.predict sums log-likelihood per raw feature occurrence —
+    * multinomial bag semantics.
+    */
+  def predict(
+      spark: SparkSession,
+      sents: Dataset[ParsedSentence],
+      params: Broadcast[MnbParams]
+  ): Dataset[Relation] = {
+    import spark.implicits._
+    examples(spark, sents)
+      .map { e =>
+        val feats = e.feats.map { f =>
+          val i = f.indexOf('=')
+          (f.substring(0, i), f.substring(i + 1))
+        }
+        Relation(e.sid, e.e1, e.e2, params.value.predict(feats))
+      }
+      .filter(_.dtype != "none")
+  }
+}

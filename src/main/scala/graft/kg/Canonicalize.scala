@@ -1,0 +1,115 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Alias canonicalization (SURVEY J4): connected components over
+  * normalized drug surface forms via iterative min-label propagation.
+  *
+  * The reference has no counterpart (its evaluator keys on raw surface
+  * text, ml/evaluator.py:40); the north star adds it. Graph shape: every
+  * surface links to each of its normalization variants, so surfaces
+  * sharing any variant land in one component; the canonical name is the
+  * lexicographically smallest member (deterministic).
+  *
+  * Scale posture: label propagation is the textbook Spark CC — each
+  * iteration is one shuffle on the node key; lineage is truncated with
+  * `localCheckpoint` every iteration so 20 iterations don't build a
+  * 20-deep recursive plan; convergence is checked with a changed-count
+  * aggregate. Component diameter for alias graphs is tiny (variants of
+  * one name), so it converges in < 5 iterations in practice.
+  */
+object Canonicalize {
+
+  /** Normalization variants of a drug surface. Each maps the surface
+    * toward a canonical spelling; all are deterministic string rewrites.
+    */
+  def variants(surface: String): Seq[String] = {
+    val lc = surface.toLowerCase.trim
+    val noParen = lc.replaceAll("\\s*\\([^)]*\\)", "").trim
+    val base = if (noParen.nonEmpty) noParen else lc
+    val squashed = base.replaceAll("[^a-z0-9]+", " ").trim.replaceAll("\\s+", " ")
+    val noHyphen = base.replace("-", "").replaceAll("\\s+", " ").trim
+    val depluraled =
+      if (squashed.length > 3 && squashed.endsWith("s") && !squashed.endsWith("ss"))
+        squashed.dropRight(1)
+      else squashed
+    Seq(lc, base, squashed, noHyphen, depluraled).filter(_.nonEmpty).distinct
+  }
+
+  /** Connected components by min-label propagation.
+    *
+    * @param edges undirected edges (src, dst); self-loops fine
+    * @return (node, component) where component = min node id reachable
+    */
+  def connectedComponents(
+      spark: SparkSession,
+      edges: Dataset[(String, String)],
+      maxIter: Int = 20
+  ): DataFrame = {
+    import spark.implicits._
+    val sym = edges
+      .toDF("src", "dst")
+      .union(edges.toDF("dst", "src").select($"src", $"dst"))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = sym
+      .select($"src".as("node"))
+      .union(sym.select($"dst".as("node")))
+      .distinct()
+      .withColumn("comp", $"node")
+      .localCheckpoint()
+
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val msgs = sym
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .select($"dst".as("node"), $"comp")
+      val next = labels
+        .select($"node", $"comp")
+        .union(msgs)
+        .groupBy($"node")
+        .agg(min($"comp").as("comp"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("comp", "old"), "node")
+        .filter($"comp" =!= $"old")
+        .limit(1)
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Map each distinct surface to its canonical name: build the
+    * surface↔variant bipartite edge set, run CC, then canonical =
+    * min surface (not variant) per component — variants that are not
+    * themselves surfaces are dropped from the output domain.
+    */
+  def canonicalMap(
+      spark: SparkSession,
+      surfaces: Dataset[String]
+  ): DataFrame = {
+    import spark.implicits._
+    val surf = surfaces.distinct().cache()
+    val edges = surf.flatMap { s =>
+      val lc = s.toLowerCase.trim
+      variants(s).map(v => (lc, "v:" + v)) :+ ((lc, lc))
+    }
+    val cc = connectedComponents(spark, edges)
+    // canonical = lexicographically smallest REAL surface in the component
+    val real = cc.filter(!$"node".startsWith("v:"))
+    val canon = real
+      .groupBy($"comp")
+      .agg(min($"node").as("canonical"))
+    val out = real
+      .join(canon, "comp")
+      .select($"node".as("surface"), $"canonical")
+    surf.unpersist()
+    out
+  }
+}

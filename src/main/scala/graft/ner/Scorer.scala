@@ -1,0 +1,153 @@
+package graft.ner
+
+import graft.core.Tok
+
+/** Pluggable token-tagging models — the Spark counterpart of the
+  * reference's `ModelABC` registry (ml/src/models/__init__.py:6-70):
+  * implementations are resolved by alias; each maps a tokenized sentence
+  * to one BIO tag per token. All implementations are pure + Serializable
+  * so they ride inside `mapPartitions` closures after a broadcast.
+  */
+trait MentionScorer extends Serializable {
+
+  /** One BIO tag per token, given the sentence's tokens and their
+    * reference-format feature vectors (W1).
+    */
+  def tagSentence(
+      toks: IndexedSeq[Tok],
+      feats: IndexedSeq[Vector[String]]
+  ): IndexedSeq[String]
+}
+
+/** The `CustomModel` floor: predicts "O" for every token
+  * (ml/src/models/custom.py:19) — P=R=F1=0 by construction.
+  */
+object AllOScorer extends MentionScorer {
+  def tagSentence(toks: IndexedSeq[Tok], feats: IndexedSeq[Vector[String]]): IndexedSeq[String] =
+    toks.map(_ => "O")
+}
+
+/** Multinomial Naive Bayes parameters in closed form (SURVEY A5).
+  *
+  * Matches sklearn's `DictVectorizer(one-hot) + MultinomialNB(alpha=1)`
+  * pipeline (ml/src/models/multinomial_nb.py:34-42) semantics:
+  *   - classes sorted ascending (np.unique);
+  *   - prior_c = log(n_tokens_c / n_tokens) (fit_prior default);
+  *   - logp(f,c) = log((count(f,c) + 1) / (total_c + |V|));
+  *   - a feature absent from the training vocabulary is DROPPED at
+  *     predict time (DictVectorizer.transform);
+  *   - argmax takes the FIRST maximal class (np.argmax).
+  *
+  * @param classes     sorted class labels
+  * @param logPrior    per-class log prior
+  * @param featLogProb feature -> per-class log likelihood (dense array
+  *                    aligned with `classes`)
+  * @param defaultLog  per-class log((0+1)/(total_c+|V|)) for in-vocab
+  *                    features with no (f,c) count
+  */
+final case class MnbParams(
+    classes: Array[String],
+    logPrior: Array[Double],
+    featLogProb: Map[String, Array[Double]],
+    defaultLog: Array[Double]
+) extends Serializable {
+
+  def predict(dictFeats: Seq[(String, String)]): String = {
+    val n = classes.length
+    val scores = new Array[Double](n)
+    System.arraycopy(logPrior, 0, scores, 0, n)
+    dictFeats.foreach { case (k, v) =>
+      featLogProb.get(k + "=" + v) match {
+        case Some(lp) =>
+          var i = 0
+          while (i < n) { scores(i) += lp(i); i += 1 }
+        case None => // out-of-vocab: dropped by DictVectorizer.transform
+      }
+    }
+    var best = 0
+    var i = 1
+    while (i < n) {
+      if (scores(i) > scores(best)) best = i
+      i += 1
+    }
+    classes(best)
+  }
+}
+
+/** Token tagger backed by broadcast MNB parameters. */
+final class MnbScorer(params: MnbParams) extends MentionScorer {
+  def tagSentence(toks: IndexedSeq[Tok], feats: IndexedSeq[Vector[String]]): IndexedSeq[String] =
+    feats.map(f => params.predict(Features.toDict(f)))
+}
+
+/** Greedy longest-match gazetteer tagger (SURVEY J3).
+  *
+  * The gazetteer maps lower-cased multi-token surfaces (token forms
+  * joined by single spaces) to an entity type. At each position the
+  * longest matching n-gram wins; matched tokens get B-type / I-type...,
+  * everything else O. `maxN` bounds the n-gram length (longest surface
+  * in the gazetteer). Deterministic by construction.
+  */
+final class GazetteerScorer(gaz: Map[String, String], maxN: Int)
+    extends MentionScorer {
+  def tagSentence(toks: IndexedSeq[Tok], feats: IndexedSeq[Vector[String]]): IndexedSeq[String] = {
+    val n = toks.length
+    val tags = Array.fill(n)("O")
+    var i = 0
+    while (i < n) {
+      var matched = 0
+      var mtype = ""
+      var len = math.min(maxN, n - i)
+      while (len >= 1 && matched == 0) {
+        val surface =
+          toks.slice(i, i + len).map(_.form).mkString(" ").toLowerCase
+        gaz.get(surface) match {
+          case Some(t) => matched = len; mtype = t
+          case None    => len -= 1
+        }
+      }
+      if (matched > 0) {
+        tags(i) = "B-" + mtype
+        var j = 1
+        while (j < matched) { tags(i + j) = "I-" + mtype; j += 1 }
+        i += matched
+      } else i += 1
+    }
+    tags.toIndexedSeq
+  }
+}
+
+/** Gazetteer-first, MNB-fallback: when the gazetteer finds any entity in
+  * a sentence, its tagging is authoritative for the WHOLE sentence (the
+  * learned model's context features — e.g. formPrev=BoS — otherwise leak
+  * false positives next to real hits); only sentences the gazetteer
+  * leaves empty fall through to the learned model. This is the engine's
+  * headline deterministic scorer.
+  */
+final class HybridScorer(gaz: GazetteerScorer, mnb: MnbScorer)
+    extends MentionScorer {
+  def tagSentence(toks: IndexedSeq[Tok], feats: IndexedSeq[Vector[String]]): IndexedSeq[String] = {
+    val g = gaz.tagSentence(toks, feats)
+    if (g.forall(_ == "O")) mnb.tagSentence(toks, feats) else g
+  }
+}
+
+object MentionScorer {
+
+  /** Alias registry, mirroring ModelABC auto-registration
+    * (ml/src/models/__init__.py:18-39).
+    */
+  def resolve(
+      name: String,
+      gaz: => Map[String, String],
+      gazMaxN: => Int,
+      mnb: => MnbParams
+  ): MentionScorer = name.toLowerCase match {
+    case "custom" | "all_o"              => AllOScorer
+    case "gazetteer" | "gaz"             => new GazetteerScorer(gaz, gazMaxN)
+    case "mnb" | "multinomial_nb"        => new MnbScorer(mnb)
+    case "hybrid" | "gaz+mnb" | "default" =>
+      new HybridScorer(new GazetteerScorer(gaz, gazMaxN), new MnbScorer(mnb))
+    case other => throw new IllegalArgumentException(s"unknown scorer: $other")
+  }
+}

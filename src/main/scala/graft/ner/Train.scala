@@ -1,0 +1,141 @@
+package graft.ner
+
+import graft.core.{FeatureRow, GoldSpan, ParsedSentence}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed model fitting (SURVEY A4/A5/J3).
+  *
+  * Both "models" are closed-form aggregations, so training is exactly one
+  * Catalyst hash aggregation each (partial + final, map-side combine for
+  * free) followed by a small driver collect + broadcast. Determinism:
+  * everything that becomes an index or a tie-break is sorted first —
+  * unlike the reference's Python-set iteration order (nn/codemaps.py:36-60,
+  * SURVEY A4).
+  */
+object Train {
+
+  /** Fit MNB from (bag-of-features, label) examples: one
+    * groupBy((feature,label)).count(). Features count with multiplicity
+    * (multinomial). `minFreq` prunes features seen fewer than that many
+    * times — the scale knob for web-scale vocabularies (the reference's
+    * crfsuite config uses feature.minfreq=1, i.e. keep all; default
+    * matches).
+    */
+  def fitMnbRaw(
+      spark: SparkSession,
+      examples: Dataset[(Seq[String], String)],
+      minFreq: Long = 1L
+  ): MnbParams = {
+    import spark.implicits._
+
+    val pairs = examples
+      .flatMap { case (fs, label) => fs.map(f => (f, label)) }
+      .toDF("feat", "tag")
+
+    val counts = pairs
+      .groupBy($"feat", $"tag")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"feat")
+      .agg(
+        sum($"c").as("featTotal"),
+        collect_list(struct($"tag", $"c")).as("perTag")
+      )
+      .filter($"featTotal" >= minFreq)
+      .collect()
+
+    val classCounts = examples
+      .map(_._2)
+      .toDF("tag")
+      .groupBy($"tag")
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+
+    val classes = classCounts.map(_._1)
+    val idx = classes.zipWithIndex.toMap
+    val nTotal = classCounts.map(_._2).sum.toDouble
+    val logPrior = classCounts.map { case (_, n) => math.log(n / nTotal) }
+
+    // total feature-occurrence mass per class (sum over all features of
+    // count(f,c)) — with one-hot dict features this is (#dict entries)
+    // summed over tokens of class c
+    val totalPerClass = new Array[Double](classes.length)
+    counts.foreach { r =>
+      r.getSeq[org.apache.spark.sql.Row](2).foreach { tc =>
+        totalPerClass(idx(tc.getString(0))) += tc.getLong(1).toDouble
+      }
+    }
+    val vocabSize = counts.length.toDouble
+    val defaultLog = totalPerClass.map(t => math.log(1.0 / (t + vocabSize)))
+
+    val featLogProb = counts.map { r =>
+      val feat = r.getString(0)
+      val lp = defaultLog.clone()
+      r.getSeq[org.apache.spark.sql.Row](2).foreach { tc =>
+        val i = idx(tc.getString(0))
+        lp(i) = math.log((tc.getLong(1) + 1.0) / (totalPerClass(i) + vocabSize))
+      }
+      feat -> lp
+    }.toMap
+
+    MnbParams(classes, logPrior, featLogProb, defaultLog)
+  }
+
+  /** NER token-tagging fit: the DictVectorizer view of each token's
+    * features — one-hot per dict key, last value per key wins
+    * (ml/src/models/multinomial_nb.py:61-73) — then the shared MNB core.
+    */
+  def fitMnb(
+      spark: SparkSession,
+      rows: Dataset[FeatureRow],
+      minFreq: Long = 1L
+  ): MnbParams = {
+    import spark.implicits._
+    fitMnbRaw(
+      spark,
+      rows.map(r => (Features.toDict(r.features).map { case (k, v) => k + "=" + v }, r.tag)),
+      minFreq
+    )
+  }
+
+  /** Derive the gazetteer from training gold entities (SURVEY J3):
+    * lower-cased surface -> majority type; ties broken by (count desc,
+    * type asc) so the result is deterministic. Surfaces are the gold
+    * `text` attributes re-joined through the tokenizer's forms would be
+    * ideal, but the raw lowercased text matches how mentions are decoded
+    * (space-joined forms) for all single-space surfaces; multi-space /
+    * rewritten surfaces simply never fire.
+    */
+  def buildGazetteer(
+      spark: SparkSession,
+      sents: Dataset[ParsedSentence]
+  ): (Map[String, String], Int) = {
+    import spark.implicits._
+    val surfaces = sents
+      .flatMap(s => s.entities.map(e => (e.text.toLowerCase, e.etype)))
+      .toDF("surface", "etype")
+      .groupBy($"surface", $"etype")
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+
+    val gaz = surfaces
+      .groupBy(_._1)
+      .map { case (surface, variants) =>
+        val best = variants.minBy { case (_, t, c) => (-c, t) }
+        surface -> best._2
+      }
+    val maxN =
+      if (gaz.isEmpty) 1
+      else gaz.keys.map(_.count(_ == ' ') + 1).max
+    (gaz, maxN)
+  }
+
+  /** Gold spans -> reference-tag oracle (used for round-trip parity and
+    * as the training-label producer).
+    */
+  def goldTags(toks: IndexedSeq[graft.core.Tok], spans: Seq[GoldSpan]): IndexedSeq[String] =
+    toks.map(t => Features.getTag(t, spans))
+}

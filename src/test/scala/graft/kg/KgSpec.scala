@@ -1,0 +1,72 @@
+package graft.kg
+
+import graft.TestSpark
+import graft.core.{Relation, Triple}
+import org.scalatest.funsuite.AnyFunSuite
+
+class KgSpec extends AnyFunSuite {
+
+  test("variants: normalization rewrites") {
+    assert(Canonicalize.variants("Beta-Blockers").contains("beta blockers"))
+    assert(Canonicalize.variants("beta-blockers").contains("betablockers"))
+    assert(Canonicalize.variants("warfarin (Coumadin)").contains("warfarin"))
+    assert(Canonicalize.variants("anticoagulants").contains("anticoagulant"))
+  }
+
+  test("connected components: min-label propagation over a chain") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val edges = spark.createDataset(Seq(("a", "b"), ("b", "c"), ("d", "e"), ("f", "f")))
+    val cc = Canonicalize.connectedComponents(spark, edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc("a") == "a" && cc("b") == "a" && cc("c") == "a")
+    assert(cc("d") == "d" && cc("e") == "d")
+    assert(cc("f") == "f")
+  }
+
+  test("canonicalMap: hyphen/plural/case variants collapse to one canonical") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val surfaces = spark.createDataset(Seq(
+      "Beta-Blockers", "beta blockers", "beta blocker", "warfarin", "Warfarin"))
+    val m = Canonicalize.canonicalMap(spark, surfaces)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("beta-blockers") == m("beta blockers"))
+    assert(m("beta blocker") == m("beta blockers"))
+    assert(m("warfarin") == "warfarin")
+    // canonical is a real surface, lexicographically smallest
+    assert(m("beta-blockers") == "beta blocker")
+  }
+
+  test("salted counts equal plain groupBy counts (skew property)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // skewed: 'warfarin' 50x, others a few
+    val trips = spark.createDataset(
+      (1 to 50).map(i => Triple("warfarin", "int", s"d$i", s"s$i", "e1", "e2", "r0")) ++
+        (1 to 5).map(i => Triple("digoxin", "effect", s"d$i", s"t$i", "e1", "e2", "r1"))
+    )
+    val salted = Triples.saltedCounts(trips, salts = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = Triples.plainCounts(trips)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+    assert(plain("warfarin") == 50L)
+  }
+
+  test("materialize resolves entity ids to canonicalized surfaces") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val sents = spark.createDataset(Seq(
+      graft.core.ParsedSentence("r0", "d0", "s0", "Warfarin interacts with Aspirin.",
+        Seq(
+          graft.core.GoldSpan("s0.e0", 0, 7, "drug", "Warfarin", "0-7"),
+          graft.core.GoldSpan("s0.e1", 24, 30, "brand", "Aspirin", "24-30")),
+        Seq.empty)))
+    val rels = spark.createDataset(Seq(Relation("s0", "s0.e0", "s0.e1", "int")))
+    val canon = Map("warfarin" -> "warfarin", "aspirin" -> "aspirin")
+    val t = Triples.materialize(spark, sents, rels, canon).collect()
+    assert(t.length == 1)
+    assert(t.head == Triple("warfarin", "int", "aspirin", "s0", "s0.e0", "s0.e1", "r0"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ner
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Closed-form Multinomial NB vs hand-computed values (sklearn
+  * MultinomialNB(alpha=1) + one-hot DictVectorizer semantics,
+  * ml/src/models/multinomial_nb.py:34-42).
+  */
+class MnbSpec extends AnyFunSuite {
+
+  private lazy val params: MnbParams = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val examples = Seq(
+      (Seq("x=1", "y=1"), "B"),
+      (Seq("x=1"), "O"),
+      (Seq("y=2"), "O")
+    )
+    Train.fitMnbRaw(spark, spark.createDataset(examples))
+  }
+
+  test("classes sorted ascending (np.unique order)") {
+    assert(params.classes.toSeq == Seq("B", "O"))
+  }
+
+  test("log priors from class counts") {
+    assert(math.abs(params.logPrior(0) - math.log(1.0 / 3)) < 1e-12)
+    assert(math.abs(params.logPrior(1) - math.log(2.0 / 3)) < 1e-12)
+  }
+
+  test("laplace-smoothed feature log likelihoods") {
+    // vocab = {x=1, y=1, y=2}, totals: B=2, O=2
+    val lpX = params.featLogProb("x=1")
+    assert(math.abs(lpX(0) - math.log(2.0 / 5)) < 1e-12) // (1+1)/(2+3)
+    assert(math.abs(lpX(1) - math.log(2.0 / 5)) < 1e-12)
+    val lpY1 = params.featLogProb("y=1")
+    assert(math.abs(lpY1(0) - math.log(2.0 / 5)) < 1e-12)
+    assert(math.abs(lpY1(1) - math.log(1.0 / 5)) < 1e-12) // unseen in O
+  }
+
+  test("predict: evidence beats prior") {
+    assert(params.predict(Seq(("x", "1"), ("y", "1"))) == "B")
+  }
+
+  test("predict: prior wins without discriminative evidence") {
+    assert(params.predict(Seq(("x", "1"))) == "O")
+  }
+
+  test("predict: out-of-vocab features are dropped (DictVectorizer.transform)") {
+    assert(params.predict(Seq(("z", "9"))) == "O") // priors only
+  }
+
+  test("predict: empty features falls back to prior argmax") {
+    assert(params.predict(Nil) == "O")
+  }
+
+  test("minFreq prunes rare features from the vocabulary") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val examples = Seq(
+      (Seq("a=1", "a=1", "rare=1"), "B"),
+      (Seq("a=1"), "O")
+    )
+    val p = Train.fitMnbRaw(spark, spark.createDataset(examples), minFreq = 2L)
+    assert(p.featLogProb.contains("a=1"))
+    assert(!p.featLogProb.contains("rare=1"))
+  }
+}
