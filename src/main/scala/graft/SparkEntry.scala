@@ -1,13 +1,331 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.fixtures.DocGen
+import graft.ops._
+import graft.pipeline.Pipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Driver contract — see SURVEY.md §7 + the builder prompt.
+  *
+  * Every `queries` entry is one operator from the SURVEY §2 inventory or
+  * the training-data-pipeline ops set; `oracleSql` holds the equivalent
+  * DuckDB SQL over the same parquet tables (identical column names and
+  * values — the driver hash-compares). KG-pipeline queries that DuckDB
+  * cannot express (Treebank tokenization, BIO decode, MNB scoring) have
+  * no oracle: the driver records a rows-only check, and their real gate
+  * is the scalatest suite + the byte-identical cross-check against the
+  * reference's own evaluator (see .claude/skills/verify).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def rd(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: full KG construction (parse → NER → DDI → canonicalize →
+    * triples) on the deterministic synthetic corpus. Driver smoke-checks
+    * rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val corpus = DocGen.corpus(spark, 80)
+    val sents = Pipeline.parse(spark, corpus).cache()
+    val train = sents.filter(s => math.abs(s.docId.hashCode) % 4 != 0)
+    val ev = sents.filter(s => math.abs(s.docId.hashCode) % 4 == 0)
+    val (_, _, trips) = Pipeline.run(spark, train, ev, "hybrid")
+    trips.toDF()
+  }
+
+  // ---- KG pipeline queries (rows-only; gated by tests + evaluator) ----
+
+  private def kgCorpus(s: SparkSession, n: Long) = {
+    val sents = Pipeline.parse(s, DocGen.corpus(s, n)).cache()
+    val train = sents.filter(x => math.abs(x.docId.hashCode) % 4 != 0)
+    val ev = sents.filter(x => math.abs(x.docId.hashCode) % 4 == 0)
+    (train, ev)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -------- KG construction (no SQL equivalent; rows-only) ----------
+    "kg_mentions" -> ((s, _) => {
+      val (train, ev) = kgCorpus(s, 200)
+      val (ms, _, _) = Pipeline.run(s, train, ev, "hybrid")
+      ms.toDF().orderBy("sid", "start")
+    }),
+    "kg_triples" -> ((s, _) => {
+      val (train, ev) = kgCorpus(s, 200)
+      val (_, _, trips) = Pipeline.run(s, train, ev, "hybrid")
+      trips.toDF().orderBy("sid")
+    }),
+    "kg_feature_rows" -> ((s, _) => {
+      val (_, ev) = kgCorpus(s, 200)
+      Pipeline.featureRows(s, ev).toDF().orderBy("sid", "start")
+    }),
+    "kg_eval_ner" -> ((s, _) => {
+      import s.implicits._
+      val (train, ev) = kgCorpus(s, 200)
+      val (ms, _, _) = Pipeline.run(s, train, ev, "hybrid")
+      s.createDataset(Pipeline.evaluateNER(s, ev, ms)).toDF().orderBy("kind")
+    }),
+    "kg_eval_ddi" -> ((s, _) => {
+      import s.implicits._
+      val (train, ev) = kgCorpus(s, 200)
+      val (_, rels, _) = Pipeline.run(s, train, ev, "hybrid")
+      s.createDataset(Pipeline.evaluateDDI(s, ev, rels)).toDF().orderBy("kind")
+    }),
+    "kg_canonical_map" -> ((s, _) => {
+      import s.implicits._
+      val (_, ev) = kgCorpus(s, 200)
+      val surfaces = ev.flatMap(x => x.entities.map(_.text))
+      graft.kg.Canonicalize.canonicalMap(s, surfaces).orderBy("surface")
+    }),
+    "kg_ann_bucketed" -> ((s, dir) => {
+      // LSH-bucketed ANN (Spark murmur3 hyperplanes — no DuckDB twin)
+      Similarity.bucketedTopK(rd(s, dir, "embeddings"), 3).orderBy("query_id", "rank")
+    }),
+
+    // -------- relational core (DuckDB-verified) -----------------------
+    "q01_agg_pushdown" -> ((s, dir) => {
+      rd(s, dir, "lineitem")
+        .filter(col("l_quantity") > 5)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_rows")
+        )
+    }),
+    "q02_join_agg" -> ((s, dir) => {
+      rd(s, dir, "orders")
+        .join(broadcast(rd(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          round(sum(col("o_totalprice")), 2).as("total_price"),
+          count(lit(1)).as("n_orders")
+        )
+    }),
+    "q03_window_lag" -> ((s, dir) => {
+      val w = Window
+        .partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      rd(s, dir, "lineitem")
+        .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
+        .groupBy(col("l_suppkey"))
+        .agg(
+          sum(when(col("l_quantity") > col("prev_qty"), 1L).otherwise(0L)).as("n_increasing"),
+          count(lit(1)).as("n_rows")
+        )
+    }),
+    "q04_topk_per_group" -> ((s, dir) => {
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      rd(s, dir, "orders")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rank"))
+    }),
+
+    // -------- events: eval counters, sessions, skew, CC ---------------
+    "q05_eval_counters" -> ((s, dir) => Events.evalCounters(rd(s, dir, "events"))),
+    "q06_sessionize" -> ((s, dir) => Events.sessionize(rd(s, dir, "events"))),
+    "q07_salted_agg" -> ((s, dir) => Events.saltedSum(rd(s, dir, "events"))),
+    "q08_connected_components" -> ((s, dir) => Events.eventComponents(s, rd(s, dir, "events"))),
+
+    // -------- text analysis -------------------------------------------
+    "q09_token_stats" -> ((s, dir) => TextOps.tokenStats(rd(s, dir, "documents"))),
+    "q10_quality_score" -> ((s, dir) => TextOps.qualityScore(rd(s, dir, "documents"))),
+    "q11_lang_id" -> ((s, dir) => TextOps.langId(rd(s, dir, "documents"))),
+    "q12_fingerprint" -> ((s, dir) => TextOps.fingerprint(rd(s, dir, "documents"))),
+    "q13_simhash" -> ((s, dir) => TextOps.simhash(rd(s, dir, "documents"))),
+
+    // -------- deduplication --------------------------------------------
+    "q14_exact_dedup" -> ((s, dir) => Dedup.exact(rd(s, dir, "documents"))),
+    "q15_minhash_sig" -> ((s, dir) => Dedup.minhashSignatures(rd(s, dir, "documents"))),
+    "q16_lsh_pairs" -> ((s, dir) => Dedup.lshCandidates(rd(s, dir, "documents"))),
+    "q17_ngram_jaccard" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val pairs = docs
+        .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+        .join(docs.select(col("doc_id").as("doc_b")), Seq("doc_b"))
+      Dedup.ngramJaccard(docs, pairs)
+    }),
+    "q18_embed_neardup" -> ((s, dir) => Dedup.embeddingNearDup(rd(s, dir, "embeddings"), 0.45)),
+
+    // -------- similarity search ----------------------------------------
+    "q19_cosine_topk" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 3)
+    }),
+
+    // -------- multimodal stub ------------------------------------------
+    "q20_multimodal_stub" -> ((s, dir) => Multimodal.features(s, rd(s, dir, "documents")))
+  )
+
+  // ---- DuckDB oracles --------------------------------------------------
+
+  private val simhashVotes: String = (0 until 16)
+    .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+    .mkString(", ")
+  private val simhashBits: String = (0 until 16)
+    .map(j => s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END")
+    .mkString(" + ")
+
+  private val shingleCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id,
+  list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+    i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM toks)"""
+
+  private val minhashCte =
+    s"""WITH $shingleCte,
+x AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+b AS (SELECT doc_id, shingle, unnest(generate_series(0, 7)) AS band FROM x),
+sigs AS (SELECT doc_id, band, min(md5(shingle || '#' || CAST(band AS VARCHAR))) AS sig
+         FROM b GROUP BY doc_id, band)"""
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_pushdown" ->
+      """SELECT l_returnflag, l_linestatus,
+round(sum(l_quantity), 2) AS sum_qty,
+round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+count(*) AS n_rows
+FROM lineitem WHERE l_quantity > 5 GROUP BY 1, 2""",
+    "q02_join_agg" ->
+      """SELECT c_mktsegment,
+round(sum(o_totalprice), 2) AS total_price, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1""",
+    "q03_window_lag" ->
+      """WITH w AS (SELECT l_suppkey, l_quantity,
+lag(l_quantity) OVER (PARTITION BY l_suppkey
+  ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+FROM lineitem)
+SELECT l_suppkey,
+CAST(sum(CASE WHEN l_quantity > prev_qty THEN 1 ELSE 0 END) AS BIGINT) AS n_increasing,
+count(*) AS n_rows FROM w GROUP BY 1""",
+    "q04_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, rank FROM (
+SELECT o_custkey, o_orderkey, CAST(row_number() OVER (
+  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank
+FROM orders) WHERE rank <= 3""",
+    "q05_eval_counters" ->
+      """WITH gold AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+pred AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+j AS (SELECT g.user_id AS gu, p.user_id AS pu
+      FROM gold g FULL OUTER JOIN pred p ON g.user_id = p.user_id)
+SELECT
+CAST(sum(CASE WHEN gu IS NOT NULL AND pu IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+CAST(sum(CASE WHEN gu IS NULL AND pu IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+CAST(sum(CASE WHEN gu IS NOT NULL AND pu IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+CAST(sum(CASE WHEN pu IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS npred,
+CAST(sum(CASE WHEN gu IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS nexp,
+round(CASE WHEN sum(CASE WHEN pu IS NOT NULL THEN 1 ELSE 0 END) <> 0
+  THEN sum(CASE WHEN gu IS NOT NULL AND pu IS NOT NULL THEN 1 ELSE 0 END)
+    / sum(CASE WHEN pu IS NOT NULL THEN 1 ELSE 0 END) ELSE 0 END, 4) AS p,
+round(CASE WHEN sum(CASE WHEN gu IS NOT NULL THEN 1 ELSE 0 END) <> 0
+  THEN sum(CASE WHEN gu IS NOT NULL AND pu IS NOT NULL THEN 1 ELSE 0 END)
+    / sum(CASE WHEN gu IS NOT NULL THEN 1 ELSE 0 END) ELSE 0 END, 4) AS r
+FROM j""",
+    "q06_sessionize" ->
+      """WITH x AS (SELECT user_id, ts, event_id,
+lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
+y AS (SELECT user_id, event_id,
+CASE WHEN prev_ts IS NULL
+  OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END AS brk FROM x),
+z AS (SELECT user_id, event_id,
+CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS session_id FROM y),
+c AS (SELECT user_id, session_id, count(*) AS n_events FROM z GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+FROM c GROUP BY 1""",
+    "q07_salted_agg" ->
+      """SELECT event_type, round(sum(value), 2) AS total_value,
+count(*) AS n_events FROM events GROUP BY 1""",
+    "q08_connected_components" ->
+      """WITH raw AS (SELECT DISTINCT lpad(CAST(user_id AS VARCHAR), 4, '0') AS src,
+lpad(CAST(event_id % 50 AS VARCHAR), 4, '0') AS dst FROM events),
+e AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+lbl AS (
+WITH RECURSIVE r(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.comp FROM r JOIN e ON e.src = r.node WHERE r.comp < e.dst)
+SELECT node, min(comp) AS comp FROM r GROUP BY node)
+SELECT node, comp FROM lbl""",
+    "q09_token_stats" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+CAST(length(text) AS INT) AS n_chars,
+round((length(text) - len(string_split(text, ' ')) + 1)
+  / len(string_split(text, ' ')), 4) AS avg_token_len
+FROM documents""",
+    "q10_quality_score" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+round(len(list_filter(toks, x -> x IN ('the','a','of','and'))) / len(toks), 4) AS stopword_ratio,
+round(length(regexp_replace(text, '[a-z ]', '', 'g')) / length(text), 4) AS nonalpha_ratio,
+round(len(list_distinct(toks)) / len(toks), 4) AS distinct_ratio
+FROM t""",
+    "q11_lang_id" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c AS (SELECT doc_id,
+CAST(len(list_filter(toks, x -> x IN ('the','a','and'))) AS INT) AS c_stop,
+CAST(len(list_filter(toks, x -> x IN ('fast','slow','big','small'))) AS INT) AS c_adj,
+CAST(len(list_filter(toks, x -> x IN ('table','row','column','query'))) AS INT) AS c_db
+FROM t)
+SELECT doc_id, c_stop, c_adj, c_db,
+CASE WHEN c_stop >= c_adj AND c_stop >= c_db THEN 'p_stop'
+     WHEN c_adj >= c_db THEN 'p_adj' ELSE 'p_db' END AS predicted_profile
+FROM c""",
+    "q12_fingerprint" ->
+      """SELECT doc_id,
+substr(md5(array_to_string(string_split(text, ' '), '|')), 1, 16) AS fp,
+CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+FROM documents""",
+    "q13_simhash" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS h FROM w),
+v AS (SELECT doc_id, $simhashVotes FROM h GROUP BY doc_id)
+SELECT doc_id, CAST($simhashBits AS BIGINT) AS simhash FROM v""",
+    "q14_exact_dedup" ->
+      """SELECT md5(text) AS dup_key, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents GROUP BY 1""",
+    "q15_minhash_sig" ->
+      s"""$minhashCte
+SELECT doc_id, CAST(band AS INT) AS band, sig FROM sigs""",
+    "q16_lsh_pairs" ->
+      s"""$minhashCte
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+GROUP BY 1, 2""",
+    "q17_ngram_jaccard" ->
+      s"""WITH $shingleCte
+SELECT a.doc_id AS doc_b, b.doc_id AS doc_a,
+round(len(list_intersect(b.shingles, a.shingles))
+  / len(list_distinct(list_concat(b.shingles, a.shingles))), 4) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id = b.doc_id + 1""",
+    "q18_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+generate_subscripts(embedding, 1) AS i FROM embeddings),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+sum(a.x * b.x) / sqrt(sum(a.x * a.x) * sum(b.x * b.x)) AS c
+FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+SELECT id_a, id_b, round(c, 4) AS cos FROM p WHERE round(c, 4) >= 0.45""",
+    "q19_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+generate_subscripts(embedding, 1) AS i FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 5),
+s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+round(sum(q.x * c.x) / sqrt(sum(q.x * q.x) * sum(c.x * c.x)), 4) AS cos
+FROM q JOIN e c ON q.i = c.i AND q.vec_id <> c.vec_id GROUP BY 1, 2)
+SELECT query_id, neighbor_id, cos, rank FROM (
+SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+  ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank FROM s)
+WHERE rank <= 3""",
+    "q20_multimodal_stub" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS payload_len,
+md5(text) AS feature_hash,
+CAST(greatest(1, (n_chars % 640) // 4) AS INT) AS thumb_w,
+CAST(120 AS INT) AS thumb_h
+FROM documents"""
+  )
 }

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-table operators: sessionization, skew-safe aggregation, and the
+  * set-intersection eval counters (J2/A1 analog) — each with a DuckDB
+  * oracle twin.
+  */
+object Events {
+
+  /** Gap-based sessionization (batch form of the streaming session
+    * window): a session breaks after `gapSec` of inactivity. Output:
+    * per-user session count + largest session. One shuffle
+    * (partitionBy user), then pure window arithmetic.
+    */
+  def sessionize(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    val byUser = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val withBreaks = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn(
+        "brk",
+        when(
+          col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec,
+          1L
+        ).otherwise(0L)
+      )
+      .withColumn("session_id", sum(col("brk")).over(byUser))
+    withBreaks
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events")
+      )
+  }
+
+  /** Salted two-phase sum — identical result to a direct groupBy (the
+    * property tests prove it), but a hot key's rows spread across
+    * `salts` reducers in phase 1 (SURVEY §4 skew handling).
+    */
+  def saltedSum(events: DataFrame, salts: Int = 16): DataFrame =
+    events
+      .withColumn("salt", pmod(col("event_id"), lit(salts)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(sum(col("value")).as("partial"), count(lit(1)).as("pn"))
+      .groupBy(col("event_type"))
+      .agg(
+        round(sum(col("partial")), 2).as("total_value"),
+        sum(col("pn")).as("n_events")
+      )
+
+  /** Set-intersection counters (the evaluator's J2/A1 shape on a generic
+    * pair of instance sets): gold = users who purchased, predicted =
+    * users who clicked; tp/fp/fn + zero-guarded P/R/F1.
+    */
+  def evalCounters(events: DataFrame): DataFrame = {
+    val gold = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+      .withColumn("g", lit(1))
+    val pred = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id")).distinct()
+      .withColumn("p", lit(1))
+    val j = gold.join(pred, Seq("user_id"), "full_outer")
+    val agg = j.agg(
+      sum(when(col("g").isNotNull && col("p").isNotNull, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("g").isNull && col("p").isNotNull, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("g").isNotNull && col("p").isNull, 1L).otherwise(0L)).as("fn"),
+      sum(when(col("p").isNotNull, 1L).otherwise(0L)).as("npred"),
+      sum(when(col("g").isNotNull, 1L).otherwise(0L)).as("nexp")
+    )
+    agg.select(
+      col("tp"), col("fp"), col("fn"), col("npred"), col("nexp"),
+      round(when(col("npred") =!= 0, col("tp").cast("double") / col("npred")).otherwise(0.0), 4).as("p"),
+      round(when(col("nexp") =!= 0, col("tp").cast("double") / col("nexp")).otherwise(0.0), 4).as("r")
+    )
+  }
+
+  /** A deterministic small graph derived from events (src = user_id,
+    * dst = event_id % 50, zero-padded string node ids so min-label
+    * ordering matches across engines), resolved to connected components
+    * with the same iterative min-label propagation the KG
+    * canonicalization uses (J4).
+    */
+  def eventComponents(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val edges = events
+      .select(
+        lpad(col("user_id").cast("string"), 4, "0").as("src"),
+        lpad(pmod(col("event_id"), lit(50)).cast("string"), 4, "0").as("dst")
+      )
+      .distinct()
+      .as[(String, String)]
+    graft.kg.Canonicalize
+      .connectedComponents(spark, edges)
+      .select(col("node"), col("comp"))
+  }
+}

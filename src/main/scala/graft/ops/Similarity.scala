@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Two paths:
+  *   - `bruteForceTopK`: exact cosine top-k via broadcast of the (small)
+  *     query set against the full corpus — one narrow pass over the big
+  *     side, no shuffle except the final per-query top-k (window on the
+  *     query key). The cosine is pure higher-order-function arithmetic
+  *     (zip_with + aggregate) — whole-stage codegen, no UDF.
+  *   - `lshBuckets` + `bucketedTopK`: random-hyperplane LSH — sign-bit
+  *     sketch of each vector against `nPlanes` deterministic
+  *     pseudo-random hyperplanes; neighbors are searched only inside the
+  *     same bucket (self-join on the bucket key). This is the 100 TB
+  *     path: bucket sizes bound the join fan-out.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double.
+    * zip_with + aggregate keep it inside codegen.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(
+        zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0),
+        (acc, v) => acc + v
+      )
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+  }
+
+  /** Exact top-k neighbors for each query vector.
+    *
+    * @param corpus  (vec_id, embedding)
+    * @param queries (vec_id, embedding) — small; broadcast
+    * @param k       neighbors per query
+    * Deterministic: ranked by (rounded cosine desc, vec_id asc).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    )
+    val scored = corpus
+      .join(q, col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("cos")
+      )
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a hash-derived value in [-0.5, 0.5). No RNG state — reproducible
+    * across engines and runs.
+    */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (pmod(hash(lit(plane), dim), lit(1000)).cast("double") / 1000.0) - 0.5
+
+  /** Sign-bit LSH bucket id from `nPlanes` hyperplanes. Vectors in the
+    * same bucket are likely neighbors; bucket count = 2^nPlanes.
+    */
+  def lshBuckets(embeddings: DataFrame, nPlanes: Int = 8): DataFrame = {
+    val bucketBits = (0 until nPlanes).map { p =>
+      val dotp = aggregate(
+        transform(col("embedding"), (x, i) => x.cast("double") * planeComponent(p, i)),
+        lit(0.0),
+        (acc, v) => acc + v
+      )
+      when(dotp >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    embeddings.withColumn("bucket", bucketBits.reduce(_ + _))
+  }
+
+  /** ANN top-k restricted to same-bucket candidates (the scale path).
+    * Recall < 1 by construction; multi-probe = union over bit-flipped
+    * buckets (not needed at test scale).
+    */
+  def bucketedTopK(embeddings: DataFrame, k: Int, nPlanes: Int = 8): DataFrame = {
+    val b = lshBuckets(embeddings, nPlanes).cache()
+    val a = b.select(col("bucket"), col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = b.select(col("bucket"), col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    a.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(cosine(col("q_emb"), col("n_emb")), 4).as("cos")
+      )
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, language-ID heuristics, document
+  * fingerprinting, simhash.
+  *
+  * All operators are pure column expressions (whole-stage codegen'd, no
+  * UDFs), so they pipeline inside the scan stage and scale linearly —
+  * no shuffles anywhere in this file except where groupBy is inherent.
+  * Every operator has a DuckDB-expressible twin used as the driver-side
+  * oracle (SparkEntry.oracleSql).
+  */
+object TextOps {
+
+  /** Whitespace tokens of `text` — split on single spaces, matching the
+    * oracle's string_split semantics (empty tokens preserved mid-string,
+    * none of our inputs have leading/trailing spaces).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count + length stats per document. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_tokens"),
+      length(col("text")).as("n_chars"),
+      round(
+        (length(col("text")) - size(tokens(col("text"))) + 1).cast("double") /
+          size(tokens(col("text"))),
+        4
+      ).as("avg_token_len")
+    )
+
+  /** Quality signals: stopword ratio, punctuation/non-alpha ratio,
+    * distinct-token ratio. Deterministic, codegen-friendly.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    docs.select(
+      col("doc_id"),
+      round(
+        size(filter(toks, t => t.isin("the", "a", "of", "and"))).cast("double") / nTok,
+        4
+      ).as("stopword_ratio"),
+      round(
+        length(regexp_replace(col("text"), "[a-z ]", "")).cast("double") /
+          length(col("text")),
+        4
+      ).as("nonalpha_ratio"),
+      round(size(array_distinct(toks)).cast("double") / nTok, 4).as("distinct_ratio")
+    )
+  }
+
+  /** N-gram-profile language-ID heuristic: count marker tokens per
+    * profile, argmax with a fixed tie order. (A real system plugs in a
+    * trained profile table; the operator shape — per-doc marker counting
+    * + argmax — is what scales.)
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    def cnt(ws: String*) = size(filter(toks, t => t.isin(ws: _*)))
+    val c1 = cnt("the", "a", "and")
+    val c2 = cnt("fast", "slow", "big", "small")
+    val c3 = cnt("table", "row", "column", "query")
+    docs.select(
+      col("doc_id"),
+      c1.as("c_stop"),
+      c2.as("c_adj"),
+      c3.as("c_db"),
+      when(c1 >= c2 && c1 >= c3, "p_stop")
+        .when(c2 >= c3, "p_adj")
+        .otherwise("p_db")
+        .as("predicted_profile")
+    )
+  }
+
+  /** Content-defined fingerprint: md5 over the token stream (stable
+    * under re-serialization of the same tokens). First 16 hex chars.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      substring(md5(to_binary(concat_ws("|", tokens(col("text"))), lit("utf-8"))), 1, 16)
+        .as("fp"),
+      size(tokens(col("text"))).as("n_tokens")
+    )
+
+  /** SimHash over word hashes (16-bit variant, cross-engine verifiable:
+    * word hash = first 4 hex chars of md5, bit j votes +1/-1, simhash
+    * bit j = majority). One explode + one aggregation; at web scale this
+    * is a single map-side-combinable groupBy(doc_id).
+    */
+  def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
+    val h = conv(substring(md5(to_binary(col("tok"), lit("utf-8"))), 1, 4), 16, 10)
+      .cast("long")
+    val votes = (0 until bits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"v$j")
+    }
+    val exploded = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h", h)
+    val voted = exploded.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val sig = (0 until bits)
+      .map(j => when(col(s"v$j") > 0, 1L << j).otherwise(0L))
+      .reduce(_ + _)
+    voted.select(col("doc_id"), sig.as("simhash"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming operators.
+  *
+  * The reference is batch-only (SURVEY §2.7), but a production ingest of
+  * a 10^12-file corpus arrives as a stream; these are the streaming
+  * twins of the batch operators:
+  *   - `windowedCounts`: event-time tumbling window + watermark (late
+  *     data dropped after `late`), the streaming A1;
+  *   - `sessionizeStream`: gap-based sessions via
+  *     `flatMapGroupsWithState` with event-time timeout — the streaming
+  *     twin of ops.Events.sessionize, emitting a session row once its
+  *     gap elapses.
+  *
+  * Both run on any streaming source (`readStream`); specs drive them
+  * with MemoryStream.
+  */
+object StreamOps {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  final case class SessionOut(user_id: Long, n_events: Long, start: Timestamp, end: Timestamp)
+  final case class SessionState(n: Long, start: Long, last: Long)
+
+  /** Tumbling event-time window counts with a watermark. */
+  def windowedCounts(events: DataFrame, windowSec: Int = 600, lateSec: Int = 300): DataFrame =
+    events
+      .withWatermark("ts", s"$lateSec seconds")
+      .groupBy(window(col("ts"), s"$windowSec seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(
+        col("window.start").as("w_start"),
+        col("event_type"),
+        col("n"),
+        col("total_value")
+      )
+
+  /** Gap-based streaming sessionization with per-user state. A session
+    * closes when no event arrives within `gapSec` of the last one
+    * (event time, enforced via watermark + state timeout).
+    */
+  def sessionizeStream(
+      spark: SparkSession,
+      events: Dataset[Event],
+      gapSec: Long = 1800L
+  ): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", s"$gapSec seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.n, new Timestamp(s.start), new Timestamp(s.last)))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapSec * 1000 =>
+                  cur = Some(s.copy(n = s.n + 1, last = t))
+                case Some(s) =>
+                  out += SessionOut(userId, s.n, new Timestamp(s.start), new Timestamp(s.last))
+                  cur = Some(SessionState(1, t, t))
+                case None =>
+                  cur = Some(SessionState(1, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapSec * 1000)
+            }
+            out.result().iterator
+          }
+        }
+      )
+  }
+}

@@ -1,0 +1,140 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.DataFrame
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("shingles: distinct word 3-grams in order") {
+    val d = docs((1L, "a b c d a b c d"))
+    val sh = d.select(Dedup.shingles(col("text")).as("s")).head().getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d", "c d a", "d a b"))
+  }
+
+  test("exact dedup groups identical texts") {
+    val d = docs((1L, "same text"), (2L, "same text"), (3L, "other"))
+    val r = Dedup.exact(d).collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(r == Set((2L, 1L), (1L, 3L))) // (n_docs, keep_id)
+  }
+
+  test("identical docs share all 8 LSH bands; disjoint docs none") {
+    val d = docs(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (2L, "w1 w2 w3 w4 w5 w6"),
+      (3L, "x1 x2 x3 x4 x5 x6")
+    )
+    val pairs = Dedup.lshCandidates(d).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs((1L, 2L)) == 8L)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("ngram jaccard: identical=1.0, disjoint=0.0, partial in between") {
+    val d = docs(
+      (1L, "a b c d e"),
+      (2L, "a b c d e"),
+      (3L, "a b c x y z")
+    )
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val j = Dedup.ngramJaccard(d, pairs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 2L)) == 1.0)
+    // doc1 3-grams: {abc,bcd,cde}; doc3: {abc,bcx,cxy,xyz}; inter=1 union=6
+    assert(j((1L, 3L)) == 0.1667)
+  }
+
+  test("simhash: identical docs equal; shared-vocab docs closer than disjoint") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "alpha beta gamma delta zeta"),
+      (4L, "qq ww ee rr tt")
+    )
+    val h = TextOps.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h(1L) == h(2L))
+    assert(ham(h(1L), h(3L)) < ham(h(1L), h(4L)))
+  }
+
+  test("cosine: parallel=1, orthogonal=0") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(2.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 3.0f))
+    ).toDF("a", "b")
+    val c = df.select(round(Similarity.cosine(col("a"), col("b")), 6)).collect().map(_.getDouble(0))
+    assert(c(0) == 1.0 && c(1) == 0.0)
+  }
+
+  test("bruteForceTopK: exact neighbors, deterministic rank") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(1.0f, 0.05f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 2)
+      .collect().sortBy(_.getInt(3)).map(r => r.getLong(1))
+    assert(top.toSeq == Seq(3L, 1L)) // closest first
+  }
+
+  test("bucketedTopK: same-bucket neighbors found, ranks deterministic") {
+    import spark.implicits._
+    val emb = (0L until 20L).map { i =>
+      (i, Seq.tabulate(4)(d => if (i % 2 == 0) 1.0f + d else -1.0f - d))
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.bucketedTopK(emb, 2)
+    // identical vectors share buckets; every query finds neighbors
+    assert(r.count() > 0)
+    assert(r.filter(col("cos") === 1.0).count() > 0)
+  }
+
+  test("saltedSum equals plain groupBy sum") {
+    import spark.implicits._
+    val ev = (1L to 100L).map(i =>
+      (i, new java.sql.Timestamp(i * 1000), i % 7, if (i % 3 == 0) "click" else "view", i * 0.5)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val salted = Events.saltedSum(ev).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val plain = ev.groupBy(col("event_type"))
+      .agg(round(sum(col("value")), 2).as("t"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("sessionize: gap splits sessions") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000)
+    val ev = Seq(
+      (1L, ts(0), 1L, "a", 0.0),
+      (2L, ts(10), 1L, "a", 0.0),  // same session (10 min gap)
+      (3L, ts(50), 1L, "a", 0.0),  // 40 min gap > 30 -> new session
+      (4L, ts(0), 2L, "a", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.sessionize(ev).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L) == ((2L, 2L))) // 2 sessions, max 2 events
+    assert(r(2L) == ((1L, 1L)))
+  }
+
+  test("multimodal stub: deterministic features from binary payloads") {
+    import spark.implicits._
+    val d = Seq((1L, "hello world", 11L)).toDF("doc_id", "text", "n_chars")
+    val f = Multimodal.features(spark, d).collect().head
+    assert(f.getLong(1) == 11L) // payload_len
+    // md5("hello world")
+    assert(f.getString(2) == "5eb63bbbe01eeed093cb22bb8f5acdc3")
+    assert(f.getInt(3) == 2 && f.getInt(4) == 120) // 11/4=2, 480/4
+  }
+}

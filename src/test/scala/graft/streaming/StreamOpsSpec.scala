@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class StreamOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def ts(min: Long) = new Timestamp(86400000L + 60000L * min)
+
+  test("windowedCounts: tumbling event-time windows with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Event]
+    mem.addData(
+      StreamOps.Event(1, ts(1), 1, "click", 1.0),
+      StreamOps.Event(2, ts(3), 2, "click", 2.0),
+      StreamOps.Event(3, ts(12), 1, "view", 3.0)
+    )
+    val q = StreamOps
+      .windowedCounts(mem.toDF(), windowSec = 600, lateSec = 300)
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    mem.addData(StreamOps.Event(4, ts(60), 1, "click", 4.0)) // advances watermark
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("wc").collect()
+      .map(r => ((r.getTimestamp(0).getTime - 86400000L) / 60000, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(rows.contains((0L, "click", 2L, 3.0)))
+    assert(rows.contains((10L, "view", 1L, 3.0)))
+  }
+
+  test("sessionizeStream: state closes a session after the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Event]
+    // user 1: two events 10 min apart (one session), then silence;
+    // a later event from user 2 advances the watermark past the gap
+    mem.addData(
+      StreamOps.Event(1, ts(0), 1, "a", 0.0),
+      StreamOps.Event(2, ts(10), 1, "a", 0.0)
+    )
+    val q = StreamOps
+      .sessionizeStream(spark, mem.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    mem.addData(StreamOps.Event(3, ts(300), 2, "a", 0.0))
+    q.processAllAvailable()
+    mem.addData(StreamOps.Event(4, ts(600), 2, "a", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.contains((1L, 2L))) // user 1's 2-event session emitted on timeout
+  }
+}
