@@ -159,7 +159,11 @@ object SparkEntry {
     }),
 
     // -------- multimodal stub ------------------------------------------
-    "q20_multimodal_stub" -> ((s, dir) => Multimodal.features(s, rd(s, dir, "documents")))
+    "q20_multimodal_stub" -> ((s, dir) => Multimodal.features(s, rd(s, dir, "documents"))),
+
+    // -------- production-path (xxhash64) variants; rows-only ------------
+    "q21_minhash_fast" -> ((s, dir) => Dedup.minhashSignaturesFast(rd(s, dir, "documents"))),
+    "q22_lsh_pairs_fast" -> ((s, dir) => Dedup.lshCandidates(rd(s, dir, "documents"), fast = true))
   )
 
   // ---- DuckDB oracles --------------------------------------------------
@@ -181,7 +185,8 @@ sh AS (SELECT doc_id,
     s"""WITH $shingleCte,
 x AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
 b AS (SELECT doc_id, shingle, unnest(generate_series(0, 7)) AS band FROM x),
-sigs AS (SELECT doc_id, band, min(md5(shingle || '#' || CAST(band AS VARCHAR))) AS sig
+sigs AS (SELECT doc_id, band,
+  min(('0x' || substr(md5(shingle || '#' || CAST(band AS VARCHAR)), 1, 15))::BIGINT) AS sig
          FROM b GROUP BY doc_id, band)"""
 
   def oracleSql: Map[String, String] = Map(

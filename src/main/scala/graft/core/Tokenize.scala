@@ -84,16 +84,42 @@ object Tokenize {
     text
   }
 
+  /** True iff `s` contains any char of `chars` (allocation-free guard —
+    * lets the hot path skip whole regex groups whose trigger characters
+    * are absent; semantics identical because every skipped pattern
+    * requires at least one of those chars to match).
+    */
+  private def containsAny(s: String, chars: String): Boolean = {
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      if (chars.indexOf(s.charAt(i)) >= 0) return true
+      i += 1
+    }
+    false
+  }
+
+  private val WordContractionTriggers =
+    Seq("cannot", "gimme", "gonna", "gotta", "lemme", "wanna",
+      "Cannot", "Gimme", "Gonna", "Gotta", "Lemme", "Wanna")
+
   /** Treebank tokenization of a single (already-split) sentence. */
   def treebankWords(sent: String): Vector[String] = {
-    var text = applyAll(sent, STARTING_QUOTES)
+    val hasQuote = containsAny(sent, "«“‘„`\"'»”’")
+    var text = if (hasQuote) applyAll(sent, STARTING_QUOTES) else sent
     text = applyAll(text, PUNCTUATION)
-    text = PARENS_BRACKETS._1.matcher(text).replaceAll(PARENS_BRACKETS._2)
-    text = DOUBLE_DASHES._1.matcher(text).replaceAll(DOUBLE_DASHES._2)
+    if (containsAny(text, "[](){}<>"))
+      text = PARENS_BRACKETS._1.matcher(text).replaceAll(PARENS_BRACKETS._2)
+    if (text.contains("--"))
+      text = DOUBLE_DASHES._1.matcher(text).replaceAll(DOUBLE_DASHES._2)
     text = " " + text + " "
-    text = applyAll(text, ENDING_QUOTES)
-    CONTRACTIONS2.foreach(p => text = p.matcher(text).replaceAll(" $1 $2 "))
-    CONTRACTIONS3.foreach(p => text = p.matcher(text).replaceAll(" $1 $2 "))
+    if (hasQuote) {
+      text = applyAll(text, ENDING_QUOTES)
+    }
+    if (text.indexOf('\'') >= 0 || WordContractionTriggers.exists(text.contains)) {
+      CONTRACTIONS2.foreach(p => text = p.matcher(text).replaceAll(" $1 $2 "))
+      CONTRACTIONS3.foreach(p => text = p.matcher(text).replaceAll(" $1 $2 "))
+    }
     text.split("\\s+").filter(_.nonEmpty).toVector
   }
 

@@ -10,20 +10,19 @@ import graft.core.Tok
   */
 trait MentionScorer extends Serializable {
 
-  /** One BIO tag per token, given the sentence's tokens and their
-    * reference-format feature vectors (W1).
+  /** One BIO tag per token. Implementations that need the W1 feature
+    * vectors compute them internally — the gazetteer path never
+    * materializes feature strings (a large fraction of the pipeline's
+    * allocation volume when computed eagerly for every sentence).
     */
-  def tagSentence(
-      toks: IndexedSeq[Tok],
-      feats: IndexedSeq[Vector[String]]
-  ): IndexedSeq[String]
+  def tagSentence(toks: IndexedSeq[Tok]): IndexedSeq[String]
 }
 
 /** The `CustomModel` floor: predicts "O" for every token
   * (ml/src/models/custom.py:19) — P=R=F1=0 by construction.
   */
 object AllOScorer extends MentionScorer {
-  def tagSentence(toks: IndexedSeq[Tok], feats: IndexedSeq[Vector[String]]): IndexedSeq[String] =
+  def tagSentence(toks: IndexedSeq[Tok]): IndexedSeq[String] =
     toks.map(_ => "O")
 }
 
@@ -76,8 +75,8 @@ final case class MnbParams(
 
 /** Token tagger backed by broadcast MNB parameters. */
 final class MnbScorer(params: MnbParams) extends MentionScorer {
-  def tagSentence(toks: IndexedSeq[Tok], feats: IndexedSeq[Vector[String]]): IndexedSeq[String] =
-    feats.map(f => params.predict(Features.toDict(f)))
+  def tagSentence(toks: IndexedSeq[Tok]): IndexedSeq[String] =
+    Features.extractFeatures(toks).map(f => params.predict(Features.toDict(f)))
 }
 
 /** Greedy longest-match gazetteer tagger (SURVEY J3).
@@ -90,27 +89,45 @@ final class MnbScorer(params: MnbParams) extends MentionScorer {
   */
 final class GazetteerScorer(gaz: Map[String, String], maxN: Int)
     extends MentionScorer {
-  def tagSentence(toks: IndexedSeq[Tok], feats: IndexedSeq[Vector[String]]): IndexedSeq[String] = {
+
+  /** First words of multi-word entries + all single-word entries: a
+    * position whose (lower-cased) form is not in this set cannot start
+    * any match, so the candidate n-gram surfaces are never built — the
+    * common case for non-entity tokens.
+    */
+  private val firstWords: Set[String] =
+    gaz.keysIterator.map { k =>
+      val sp = k.indexOf(' ')
+      if (sp < 0) k else k.substring(0, sp)
+    }.toSet
+
+  def tagSentence(toks: IndexedSeq[Tok]): IndexedSeq[String] = {
     val n = toks.length
     val tags = Array.fill(n)("O")
+    val lc = new Array[String](n)
     var i = 0
+    while (i < n) { lc(i) = toks(i).form.toLowerCase; i += 1 }
+    i = 0
     while (i < n) {
-      var matched = 0
-      var mtype = ""
-      var len = math.min(maxN, n - i)
-      while (len >= 1 && matched == 0) {
-        val surface =
-          toks.slice(i, i + len).map(_.form).mkString(" ").toLowerCase
-        gaz.get(surface) match {
-          case Some(t) => matched = len; mtype = t
-          case None    => len -= 1
+      if (firstWords.contains(lc(i))) {
+        var matched = 0
+        var mtype = ""
+        var len = math.min(maxN, n - i)
+        while (len >= 1 && matched == 0) {
+          val sb = new java.lang.StringBuilder(lc(i))
+          var j = 1
+          while (j < len) { sb.append(' ').append(lc(i + j)); j += 1 }
+          gaz.get(sb.toString) match {
+            case Some(t) => matched = len; mtype = t
+            case None    => len -= 1
+          }
         }
-      }
-      if (matched > 0) {
-        tags(i) = "B-" + mtype
-        var j = 1
-        while (j < matched) { tags(i + j) = "I-" + mtype; j += 1 }
-        i += matched
+        if (matched > 0) {
+          tags(i) = "B-" + mtype
+          var j = 1
+          while (j < matched) { tags(i + j) = "I-" + mtype; j += 1 }
+          i += matched
+        } else i += 1
       } else i += 1
     }
     tags.toIndexedSeq
@@ -126,9 +143,9 @@ final class GazetteerScorer(gaz: Map[String, String], maxN: Int)
   */
 final class HybridScorer(gaz: GazetteerScorer, mnb: MnbScorer)
     extends MentionScorer {
-  def tagSentence(toks: IndexedSeq[Tok], feats: IndexedSeq[Vector[String]]): IndexedSeq[String] = {
-    val g = gaz.tagSentence(toks, feats)
-    if (g.forall(_ == "O")) mnb.tagSentence(toks, feats) else g
+  def tagSentence(toks: IndexedSeq[Tok]): IndexedSeq[String] = {
+    val g = gaz.tagSentence(toks)
+    if (g.forall(_ == "O")) mnb.tagSentence(toks) else g
   }
 }
 

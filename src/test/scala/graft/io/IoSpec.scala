@@ -1,0 +1,89 @@
+package graft.io
+
+import graft.TestSpark
+import graft.core.{FeatureRow, Mention, Triple}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class IoSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private val rows = Seq(
+    FeatureRow("D.s0", "Warfarin", 0, 7, "B-drug",
+      Vector("form=Warfarin", "suf3=rin", "BoS", "formNext=.", "suf3Next=.")),
+    FeatureRow("D.s0", ".", 8, 8, "O",
+      Vector("form=.", "suf3=.", "formPrev=Warfarin", "suf3Prev=rin", "EoS"))
+  )
+
+  test("feat file: exact reference TSV bytes incl. blank-line framing") {
+    val expect =
+      "D.s0\tWarfarin\t0\t7\tB-drug\tform=Warfarin\tsuf3=rin\tBoS\tformNext=.\tsuf3Next=.\n" +
+        "D.s0\t.\t8\t8\tO\tform=.\tsuf3=.\tformPrev=Warfarin\tsuf3Prev=rin\tEoS\n" +
+        "\n"
+    assert(FeatFile.formatSentences(Seq(rows)) == expect)
+  }
+
+  test("feat file: parse is the inverse of format") {
+    rows.foreach(r => assert(FeatFile.parseRow(FeatFile.formatRow(r)) == r))
+  }
+
+  test("feat file: distributed read round-trips") {
+    val dir = Files.createTempDirectory("feat").toString
+    val path = s"$dir/corpus.feat"
+    Files.writeString(java.nio.file.Paths.get(path), FeatFile.formatSentences(Seq(rows)))
+    val back = FeatFile.read(spark, path).collect().sortBy(_.start)
+    assert(back.toSeq == rows)
+  }
+
+  test("pred file: format/parse round-trip incl. -1 offsets and '|' in text") {
+    val ms = Seq(
+      Mention("D.s0", 0, 7, "Warfarin", "drug"),
+      Mention("D.s1", -1, 0, "``", "drug_n"),
+      Mention("D.s2", 3, 9, "a|b", "group")
+    )
+    ms.foreach { m =>
+      assert(PredFile.parseMention(PredFile.formatLine(m)) == m)
+      val (key, cls) = PredFile.parseLine(PredFile.formatLine(m))
+      assert(cls == m.etype)
+      assert(key == s"${m.sid}|${m.start}-${m.end}|${m.text}")
+    }
+  }
+
+  test("resume: partial write + resume completes; re-resume is a no-op") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("kg").toString + "/triples"
+    def trips(repos: String*) = spark.createDataset(
+      repos.flatMap(r => (1 to 5).map(i => Triple(s"drug$i", "int", "obj", s"$r.s$i", "e1", "e2", r)))
+    )
+    // first run: only repo-a and repo-b "arrive"
+    val c1 = Resume.writeResumable(spark, trips("repo-a", "repo-b"), table)
+    assert(c1.map(_.repo) == Seq("repo-a", "repo-b"))
+    assert(c1.forall(_.rows == 5))
+    // resume with the full input: only repo-c is new work
+    val c2 = Resume.writeResumable(spark, trips("repo-a", "repo-b", "repo-c"), table)
+    assert(c2.map(_.repo) == Seq("repo-c"))
+    // a third resume does nothing
+    assert(Resume.writeResumable(spark, trips("repo-a", "repo-b", "repo-c"), table).isEmpty)
+    // the table reads back complete and correct
+    val back = Resume.read(spark, table)
+    assert(back.count() == 15)
+    assert(back.map(_.repo).distinct().collect().sorted.toSeq == Seq("repo-a", "repo-b", "repo-c"))
+  }
+
+  test("codemaps: sorted deterministic ids, PAD=0/UNK=1, idx round-trip") {
+    import spark.implicits._
+    val sents = spark.createDataset(Seq(
+      graft.core.ParsedSentence("r", "d", "s0", "Warfarin interacts.",
+        Seq(graft.core.GoldSpan("e0", 0, 7, "drug", "Warfarin", "0-7")), Nil)
+    ))
+    val cm = graft.ner.Codemaps.build(spark, sents, maxlen = 5, suflen = 5)
+    // words sorted: '.', 'interacts', 'warfarin' -> ids 2,3,4
+    assert(cm.wordIndex == Map("." -> 2, "interacts" -> 3, "warfarin" -> 4))
+    assert(cm.labelIndex.keySet == Set("B-drug", "O"))
+    assert(cm.encodeWords(Seq("Warfarin", "unknown")).toSeq == Seq(4, 1, 0, 0, 0))
+    val p = Files.createTempDirectory("cm").resolve("m.idx").toString
+    cm.save(p)
+    assert(graft.ner.Codemaps.load(p) == cm)
+  }
+}
