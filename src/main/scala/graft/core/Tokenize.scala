@@ -37,16 +37,22 @@ object Tokenize {
     P("(?i)(')(?!re|ve|ll|m|t|s|d|n)(\\w)\\b") -> "$1 $2"
   )
 
-  private val PUNCTUATION: Seq[(Pattern, String)] = Seq(
-    P("([^\\.])(\\.)([\\]\\)}>\"'»”’ ]*)\\s*$") -> "$1 $2 $3 ",
-    P("([:,])([^\\d])") -> " $1 $2",
-    P("([:,])$") -> " $1 ",
-    P("\\.{2,}") -> " $0 ",
-    P("[;@#$%&]") -> " $0 ",
-    P("([^\\.])(\\.)([\\]\\)}>\"']*)\\s*$") -> "$1 $2$3 ",
-    P("[?!]") -> " $0 ",
-    P("([^'])' ") -> "$1 ' ",
-    P("[*]") -> " $0 "
+  /** (pattern, replacement, trigger chars): the rule is skipped when the
+    * text contains none of the trigger chars — every pattern requires at
+    * least one of them to match, so skipping is semantics-preserving.
+    * Tokenization is ~50% of the scoring pass; these guards cut the
+    * common case from 9 regex scans to 1-3.
+    */
+  private val PUNCTUATION: Seq[(Pattern, String, String)] = Seq(
+    (P("([^\\.])(\\.)([\\]\\)}>\"'»”’ ]*)\\s*$"), "$1 $2 $3 ", "."),
+    (P("([:,])([^\\d])"), " $1 $2", ":,"),
+    (P("([:,])$"), " $1 ", ":,"),
+    (P("\\.{2,}"), " $0 ", "."),
+    (P("[;@#$%&]"), " $0 ", ";@#$%&"),
+    (P("([^\\.])(\\.)([\\]\\)}>\"']*)\\s*$"), "$1 $2$3 ", "."),
+    (P("[?!]"), " $0 ", "?!"),
+    (P("([^'])' "), "$1 ' ", "'"),
+    (P("[*]"), " $0 ", "*")
   )
 
   private val PARENS_BRACKETS: (Pattern, String) =
@@ -107,7 +113,9 @@ object Tokenize {
   def treebankWords(sent: String): Vector[String] = {
     val hasQuote = containsAny(sent, "«“‘„`\"'»”’")
     var text = if (hasQuote) applyAll(sent, STARTING_QUOTES) else sent
-    text = applyAll(text, PUNCTUATION)
+    PUNCTUATION.foreach { case (p, r, trigger) =>
+      if (containsAny(text, trigger)) text = p.matcher(text).replaceAll(r)
+    }
     if (containsAny(text, "[](){}<>"))
       text = PARENS_BRACKETS._1.matcher(text).replaceAll(PARENS_BRACKETS._2)
     if (text.contains("--"))
@@ -120,8 +128,11 @@ object Tokenize {
       CONTRACTIONS2.foreach(p => text = p.matcher(text).replaceAll(" $1 $2 "))
       CONTRACTIONS3.foreach(p => text = p.matcher(text).replaceAll(" $1 $2 "))
     }
-    text.split("\\s+").filter(_.nonEmpty).toVector
+    // precompiled: String.split("\\s+") would recompile the regex per call
+    Whitespace.split(text).iterator.filter(_.nonEmpty).toVector
   }
+
+  private val Whitespace = Pattern.compile("\\s+")
 
   // ---- Sentence splitting (Punkt stand-in) ----------------------------
 

@@ -176,13 +176,16 @@ object Pipeline {
     Models(scorer, ddiParams, canon)
   }
 
-  /** Per-sentence result of the fused scoring pass. */
+  /** Per-sentence result of the fused scoring pass. Relations are NOT
+    * stored separately — a Triple carries (sid, e1, e2, pred), so the
+    * relation view is a projection (one less nested array through the
+    * encoder on every row).
+    */
   final case class SentenceResult(
       repo: String,
       docId: String,
       sid: String,
       mentions: Seq[Mention],
-      relations: Seq[Relation],
       triples: Seq[Triple]
   )
 
@@ -232,7 +235,7 @@ object Pipeline {
             s.sid, r.e1, r.e2, s.repo
           )
         }
-        SentenceResult(s.repo, s.docId, s.sid, ms, rels, trips)
+        SentenceResult(s.repo, s.docId, s.sid, ms, trips)
       }
     }
   }
@@ -252,6 +255,7 @@ object Pipeline {
     import spark.implicits._
     val models = spark.sparkContext.broadcast(fit(spark, train, scorerName, mnbMinFreq))
     val scored = score(spark, eval, models).cache()
-    (scored.flatMap(_.mentions), scored.flatMap(_.relations), scored.flatMap(_.triples))
+    val rels = scored.flatMap(_.triples.map(t => Relation(t.sid, t.e1, t.e2, t.interactionPred)))
+    (scored.flatMap(_.mentions), rels, scored.flatMap(_.triples))
   }
 }

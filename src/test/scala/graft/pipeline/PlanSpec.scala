@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import graft.TestSpark
+import graft.SparkEntry
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions (SURVEY §4): the scale-critical
+  * properties — filter/column pushdown into the parquet scan, broadcast
+  * join selection, hash (not sort) aggregation, and the zero-shuffle
+  * fused scoring pass — asserted on `.explain` output so a regression
+  * that silently de-optimizes a plan fails the suite.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01: filter and column pruning pushed into the parquet scan") {
+    val plan = planOf(SparkEntry.queries("q01_agg_pushdown")(spark, sf))
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("GreaterThan(l_quantity,5"), plan)
+    // pruned read schema: only the 5 referenced columns, not all 11
+    assert(plan.contains("l_returnflag"), plan)
+    assert(!plan.contains("l_shipdate"), "unreferenced column not pruned:\n" + plan)
+  }
+
+  test("q02: small dimension side is broadcast, not shuffled") {
+    val plan = planOf(SparkEntry.queries("q02_join_agg")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q01: aggregation is HashAggregate (not SortAggregate)") {
+    val plan = planOf(SparkEntry.queries("q01_agg_pushdown")(spark, sf))
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+  }
+
+  test("q15: numeric minhash keeps HashAggregate") {
+    val plan = planOf(SparkEntry.queries("q15_minhash_sig")(spark, sf))
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+  }
+
+  test("fused scoring pass plans with zero Exchange (no shuffle)") {
+    import spark.implicits._
+    val corpus = graft.fixtures.DocGen.corpus(spark, 20)
+    val sents = Pipeline.parse(spark, corpus)
+    val models = spark.sparkContext.broadcast(
+      Pipeline.fit(spark, sents, "gazetteer"))
+    val plan = planOf(Pipeline.score(spark, sents, models).toDF())
+    assert(!plan.contains("Exchange"), "scoring pass should not shuffle:\n" + plan)
+  }
+
+  test("q19: query side of the ANN topk is broadcast") {
+    val plan = planOf(SparkEntry.queries("q19_cosine_topk")(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
+}
