@@ -40,15 +40,22 @@ object Relations {
     * the sentence's reference tokenization; e1/e2 located by first-span
     * char offsets.
     */
+  private val NegCues = Set("not", "no", "neither", "nor", "without", "lack", "absence")
+
   def pairFeatures(
       toks: IndexedSeq[Tok],
       e1: GoldSpan,
-      e2: GoldSpan
+      e2: GoldSpan,
+      otherEnts: Seq[GoldSpan] = Nil
   ): Seq[String] = {
     val (lo, hi) = if (e1.start <= e2.start) (e1, e2) else (e2, e1)
     val mid = toks.filter(t => t.start > lo.end && t.end < hi.start)
     val before = toks.filter(_.end < lo.start).takeRight(2)
     val after = toks.filter(_.start > hi.end).take(2)
+    // feature ablations tried (DebugDdi, devel typed F1): mid bigrams
+    // and entity-surface lexemes both OVERFIT (train R 0.90 from
+    // memorization, devel F1 0.384 -> 0.362); unigram windows + the
+    // structural cues below are the best deterministic set found
     val b = Vector.newBuilder[String]
     mid.foreach(t => b += ("mid=" + t.form.toLowerCase))
     before.foreach(t => b += ("bef=" + t.form.toLowerCase))
@@ -56,6 +63,16 @@ object Relations {
     b += ("ndist=" + distBucket(mid.length))
     b += ("e1t=" + lo.etype)
     b += ("e2t=" + hi.etype)
+    // negation between the entities flips/voids most interaction cues
+    if (mid.exists(t => NegCues.contains(t.form.toLowerCase))) b += "neg=1"
+    // other annotated entities strictly between the pair — enumeration
+    // sentences ("A, B, C and D were given") produce many false pairs
+    val nBetween = otherEnts.count(o =>
+      o.entityId != lo.entityId && o.entityId != hi.entityId &&
+        o.start > lo.end && o.end < hi.start)
+    b += ("nents=" + distBucket(nBetween))
+    // pair order in text often encodes agent vs patient
+    if (e1.start > e2.start) b += "inv=1"
     b.result()
   }
 
@@ -79,7 +96,7 @@ object Relations {
             s.sid,
             p.e1,
             p.e2,
-            pairFeatures(toks, e1, e2),
+            pairFeatures(toks, e1, e2, s.entities),
             p.dtype.getOrElse(if (p.ddi) "int" else "none")
           )
         }
@@ -97,10 +114,17 @@ object Relations {
     * MnbParams.predict sums log-likelihood per raw feature occurrence —
     * multinomial bag semantics.
     */
+  /** Default decision margin (log-odds over "none"), tuned by maximizing
+    * typed F1 on the TRAINING split (no eval leakage) — see
+    * tools/DebugDdi. 0 = plain argmax.
+    */
+  val DefaultMargin: Double = 2.0
+
   def predict(
       spark: SparkSession,
       sents: Dataset[ParsedSentence],
-      params: Broadcast[MnbParams]
+      params: Broadcast[MnbParams],
+      margin: Double = DefaultMargin
   ): Dataset[Relation] = {
     import spark.implicits._
     examples(spark, sents)
@@ -109,7 +133,7 @@ object Relations {
           val i = f.indexOf('=')
           (f.substring(0, i), f.substring(i + 1))
         }
-        Relation(e.sid, e.e1, e.e2, params.value.predict(feats))
+        Relation(e.sid, e.e1, e.e2, params.value.predictWithMargin(feats, "none", margin))
       }
       .filter(_.dtype != "none")
   }

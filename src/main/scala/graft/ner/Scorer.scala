@@ -51,25 +51,48 @@ final case class MnbParams(
     defaultLog: Array[Double]
 ) extends Serializable {
 
-  def predict(dictFeats: Seq[(String, String)]): String = {
+  def scores(dictFeats: Seq[(String, String)]): Array[Double] = {
     val n = classes.length
-    val scores = new Array[Double](n)
-    System.arraycopy(logPrior, 0, scores, 0, n)
+    val s = new Array[Double](n)
+    System.arraycopy(logPrior, 0, s, 0, n)
     dictFeats.foreach { case (k, v) =>
       featLogProb.get(k + "=" + v) match {
         case Some(lp) =>
           var i = 0
-          while (i < n) { scores(i) += lp(i); i += 1 }
+          while (i < n) { s(i) += lp(i); i += 1 }
         case None => // out-of-vocab: dropped by DictVectorizer.transform
       }
     }
+    s
+  }
+
+  def predict(dictFeats: Seq[(String, String)]): String = {
+    val s = scores(dictFeats)
     var best = 0
     var i = 1
-    while (i < n) {
-      if (scores(i) > scores(best)) best = i
+    while (i < s.length) {
+      if (s(i) > s(best)) best = i
       i += 1
     }
     classes(best)
+  }
+
+  /** Argmax over classes other than `reject`, emitted only when its
+    * log-odds over `reject` exceed `margin`; otherwise `reject`. The
+    * precision/recall knob for detect-then-classify tasks (DDI: reject =
+    * "none").
+    */
+  def predictWithMargin(dictFeats: Seq[(String, String)], reject: String, margin: Double): String = {
+    val s = scores(dictFeats)
+    val rejIdx = classes.indexOf(reject)
+    if (rejIdx < 0) return predict(dictFeats)
+    var best = -1
+    var i = 0
+    while (i < s.length) {
+      if (i != rejIdx && (best < 0 || s(i) > s(best))) best = i
+      i += 1
+    }
+    if (best >= 0 && s(best) - s(rejIdx) > margin) classes(best) else reject
   }
 }
 

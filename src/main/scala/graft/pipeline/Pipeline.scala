@@ -215,11 +215,11 @@ object Pipeline {
           for {
             e1 <- byId.get(p.e1)
             e2 <- byId.get(p.e2)
-            feats = Relations.pairFeatures(toks, e1, e2).map { f =>
+            feats = Relations.pairFeatures(toks, e1, e2, s.entities).map { f =>
               val i = f.indexOf('=')
               (f.substring(0, i), f.substring(i + 1))
             }
-            dtype = m.ddi.predict(feats)
+            dtype = m.ddi.predictWithMargin(feats, "none", Relations.DefaultMargin)
             if dtype != "none"
           } yield Relation(s.sid, p.e1, p.e2, dtype)
         }
