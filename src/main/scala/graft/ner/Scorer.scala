@@ -100,6 +100,14 @@ final case class MnbParams(
 final class MnbScorer(params: MnbParams) extends MentionScorer {
   def tagSentence(toks: IndexedSeq[Tok]): IndexedSeq[String] =
     Features.extractFeatures(toks).map(f => params.predict(Features.toDict(f)))
+
+  /** Margin-gated tags: a non-O tag is kept only when its log-odds over
+    * "O" exceed `margin` (precision gate for the hybrid merge).
+    */
+  def tagSentenceMargin(toks: IndexedSeq[Tok], margin: Double): IndexedSeq[String] =
+    Features.extractFeatures(toks).map { f =>
+      params.predictWithMargin(Features.toDict(f), "O", margin)
+    }
 }
 
 /** Greedy longest-match gazetteer tagger (SURVEY J3).
@@ -157,19 +165,46 @@ final class GazetteerScorer(gaz: Map[String, String], maxN: Int)
   }
 }
 
-/** Gazetteer-first, MNB-fallback: when the gazetteer finds any entity in
-  * a sentence, its tagging is authoritative for the WHOLE sentence (the
-  * learned model's context features — e.g. formPrev=BoS — otherwise leak
-  * false positives next to real hits); only sentences the gazetteer
-  * leaves empty fall through to the learned model. This is the engine's
-  * headline deterministic scorer.
+/** Gazetteer-first with a margin-gated MNB merge: gazetteer tags are
+  * authoritative where they fire; elsewhere the learned model may open
+  * a mention only when its log-odds over O clear `mnbMargin`
+  * (`Double.PositiveInfinity` = gazetteer-only). An MNB `I-` is accepted
+  * only when it continues a same-type span in the merged tagging, so the
+  * merge cannot corrupt the B/I structure the decoder relies on. This is
+  * the engine's headline deterministic scorer.
   */
-final class HybridScorer(gaz: GazetteerScorer, mnb: MnbScorer)
-    extends MentionScorer {
+final class HybridScorer(
+    gaz: GazetteerScorer,
+    mnb: MnbScorer,
+    mnbMargin: Double = HybridScorer.DefaultMargin
+) extends MentionScorer {
   def tagSentence(toks: IndexedSeq[Tok]): IndexedSeq[String] = {
     val g = gaz.tagSentence(toks)
-    if (g.forall(_ == "O")) mnb.tagSentence(toks) else g
+    if (mnbMargin.isPosInfinity) return g
+    val m = mnb.tagSentenceMargin(toks, mnbMargin)
+    val out = new Array[String](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      out(i) =
+        if (g(i) != "O") g(i)
+        else {
+          val mi = m(i)
+          if (mi.startsWith("B-")) mi
+          else if (mi.startsWith("I-") && i > 0 &&
+            (out(i - 1) == "B-" + mi.drop(2) || out(i - 1) == "I-" + mi.drop(2))) mi
+          else "O"
+        }
+      i += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
+}
+
+object HybridScorer {
+  /** Tuned on the reference devel split (DebugNerMargin); test-split
+    * confirmed. See BASELINE.md.
+    */
+  val DefaultMargin: Double = 4.0
 }
 
 object MentionScorer {
