@@ -1,0 +1,63 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Quality measurement for the LSH-bucketed ANN path: recall@k against
+  * the exact brute-force neighbors on deterministic clustered
+  * embeddings (the workload ANN exists for — random noise has no
+  * recoverable neighbors and would measure nothing).
+  */
+class AnnRecallSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  /** 10 deterministic cluster centers in 16d, 30 points each, small
+    * noise — same-cluster points are each other's true neighbors.
+    */
+  private def clustered = {
+    import spark.implicits._
+    val rnd = new Random(42)
+    val centers = Vector.fill(10)(Array.fill(16)(rnd.nextGaussian().toFloat * 2f))
+    (0L until 300L).map { i =>
+      val c = centers((i % 10).toInt)
+      val v = c.map(x => x + rnd.nextGaussian().toFloat * 0.1f)
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("bucketed ANN recall@3 >= 0.6 vs exact brute force on clustered data") {
+    val emb = clustered.cache()
+    val k = 3
+    val exact = Similarity.bruteForceTopK(emb, emb, k)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = Similarity.bucketedTopK(emb, k, nPlanes = 6)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      approx.get(q).map(a => (a & truth).size.toDouble / truth.size).getOrElse(0.0)
+    }
+    val recall = recalls.sum / recalls.size
+    info(f"recall@3 = $recall%.3f over ${recalls.size} queries")
+    assert(recall >= 0.6, f"LSH ANN recall too low: $recall%.3f")
+    emb.unpersist()
+  }
+
+  test("same-bucket property: near-identical vectors collide") {
+    import spark.implicits._
+    val pairs = Seq(
+      (0L, Seq.fill(8)(1.0f)),
+      (1L, Seq.fill(8)(1.001f)), // epsilon apart
+      (2L, Seq.fill(8)(-1.0f)) // opposite orthant
+    ).toDF("vec_id", "embedding")
+    val b = Similarity.lshBuckets(pairs, 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(b(0L) == b(1L))
+    assert(b(0L) != b(2L))
+  }
+}
