@@ -42,10 +42,19 @@ object Canonicalize {
     * @param edges undirected edges (src, dst); self-loops fine
     * @return (node, component) where component = min node id reachable
     */
+  /** Edge-count threshold below which CC runs as driver-side union-find:
+    * an iterative distributed loop on a tiny graph is pure scheduling
+    * overhead (measured 3.6s for 150 nodes — 6 iterations x 3 jobs),
+    * while union-find is O(E a(E)) in microseconds. Both paths produce
+    * identical (node, min-label) output (property-tested).
+    */
+  val LocalCcThreshold: Long = 1000000L
+
   def connectedComponents(
       spark: SparkSession,
       edges: Dataset[(String, String)],
-      maxIter: Int = 20
+      maxIter: Int = 20,
+      localThreshold: Long = LocalCcThreshold
   ): DataFrame = {
     import spark.implicits._
     val sym = edges
@@ -53,6 +62,11 @@ object Canonicalize {
       .union(edges.toDF("dst", "src").select($"src", $"dst"))
       .distinct()
       .localCheckpoint()
+
+    val nEdges = sym.count()
+    if (nEdges <= localThreshold) {
+      return localUnionFind(spark, sym.as[(String, String)].collect())
+    }
 
     var labels = sym
       .select($"src".as("node"))
@@ -83,6 +97,43 @@ object Canonicalize {
       iter += 1
     }
     labels
+  }
+
+  /** Driver-side union-find with path compression; labels resolved to
+    * the lexicographic minimum of each component (identical contract to
+    * the distributed loop).
+    */
+  private def localUnionFind(
+      spark: SparkSession,
+      sym: Array[(String, String)]
+  ): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent.getOrElse(root, root)
+      var cur = x
+      while (parent.getOrElse(cur, cur) != root) {
+        val next = parent.getOrElse(cur, cur)
+        parent(cur) = root
+        cur = next
+      }
+      root
+    }
+    sym.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val nodes = parent.keys.toSeq
+    val minOfRoot = scala.collection.mutable.HashMap.empty[String, String]
+    nodes.foreach { n =>
+      val r = find(n)
+      val cur = minOfRoot.get(r)
+      if (cur.isEmpty || n < cur.get) minOfRoot(r) = n
+    }
+    nodes.map(n => (n, minOfRoot(find(n)))).toDF("node", "comp")
   }
 
   /** Map each distinct surface to its canonical name: build the

@@ -24,6 +24,20 @@ class KgSpec extends AnyFunSuite {
     assert(cc("f") == "f")
   }
 
+  test("CC: driver union-find and distributed propagation agree on a random graph") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = spark.createDataset(
+      Seq.fill(120)((s"n${rnd.nextInt(60)}", s"n${rnd.nextInt(60)}"))
+    )
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val local = asMap(Canonicalize.connectedComponents(spark, edges))
+    val dist = asMap(Canonicalize.connectedComponents(spark, edges, localThreshold = 0))
+    assert(local == dist)
+  }
+
   test("canonicalMap: hyphen/plural/case variants collapse to one canonical") {
     val spark = TestSpark.spark
     import spark.implicits._
