@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ParallelGC measured 25-30% faster than default G1 on this
+  // string-heavy workload (see BENCH/BASELINE.md methodology)
+  "-XX:+UseParallelGC",
 ) ++ sys.env.get("SPARK_GC_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)
