@@ -83,6 +83,13 @@ object SparkEntry {
       // LSH-bucketed ANN (Spark murmur3 hyperplanes — no DuckDB twin)
       Similarity.bucketedTopK(rd(s, dir, "embeddings"), 3).orderBy("query_id", "rank")
     }),
+    "kg_ann_ivf" -> ((s, dir) => {
+      // IVF ANN (hash-sampled centroids + nProbe cells — no DuckDB twin;
+      // recall gate lives in AnnRecallSpec)
+      val emb = rd(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), 3, nCells = 16, nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
 
     // -------- relational core (DuckDB-verified) -----------------------
     "q01_agg_pushdown" -> ((s, dir) => {
@@ -160,6 +167,8 @@ object SparkEntry {
 
     // -------- multimodal stub ------------------------------------------
     "q20_multimodal_stub" -> ((s, dir) => Multimodal.features(s, rd(s, dir, "documents"))),
+
+    "q23_token_bpe" -> ((s, dir) => TextOps.bpeTokenCount(rd(s, dir, "documents"))),
 
     // -------- production-path (xxhash64) variants; rows-only ------------
     "q21_minhash_fast" -> ((s, dir) => Dedup.minhashSignaturesFast(rd(s, dir, "documents"))),
@@ -326,6 +335,11 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 SELECT *, CAST(row_number() OVER (PARTITION BY query_id
   ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank FROM s)
 WHERE rank <= 3""",
+    "q23_token_bpe" ->
+      """SELECT doc_id,
+CAST(len(regexp_extract_all(text, '''(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS INT) AS n_bpe_tokens,
+CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens
+FROM documents""",
     "q20_multimodal_stub" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS payload_len,
 md5(text) AS feature_hash,

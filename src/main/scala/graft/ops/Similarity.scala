@@ -22,9 +22,16 @@ import org.apache.spark.sql.expressions.Window
 object Similarity {
 
   /** Cosine similarity of two float-array columns, computed in double.
-    * zip_with + aggregate keep it inside codegen.
+    * Native codegen'd expression: one fused loop for dot/|a|²/|b|², no
+    * intermediate array (graft.functions.CosineSim).
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSim(a, b)
+
+  /** Composable-primitives twin of [[cosine]] (zip_with + aggregate —
+    * three passes, one intermediate array per pair). Kept as the
+    * independent oracle for CosineSimSpec's exact-equality check.
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column) =
       aggregate(
         zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
@@ -80,6 +87,90 @@ object Similarity {
       when(dotp >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     embeddings.withColumn("bucket", bucketBits.reduce(_ + _))
+  }
+
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) ANN — the second scale path, complementary to
+  // the hyperplane LSH below: cells adapt to the data distribution
+  // (centroids are corpus points), so clustered corpora get higher
+  // recall at the same candidate budget.
+  // ------------------------------------------------------------------
+
+  /** Deterministic coarse centroids: the `nCells` corpus vectors with
+    * the smallest murmur3(vec_id) — a reproducible pseudo-random sample
+    * (no RNG state, stable across runs/engines). `orderBy.limit`
+    * executes as TakeOrdered (per-partition top-k + driver merge), not a
+    * global sort, so this stays O(n log k) with no shuffle at corpus
+    * scale; the result is driver-side and tiny (nCells ≤ ~4k).
+    */
+  def ivfCentroids(embeddings: DataFrame, nCells: Int): Seq[(Int, Seq[Float])] =
+    embeddings
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(hash(col("vec_id")), col("vec_id"))
+      .limit(nCells)
+      .collect()
+      .toSeq
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1)) }
+
+  /** The `nProbe` nearest cells for a vector column, as an array of
+    * struct(neg_cos, cell) sorted by descending cosine (ties → lower
+    * cell id). One fused pass per row: the centroid table rides along
+    * as an array literal (broadcast with the plan), scored by the
+    * native CosineSim inside codegen — no join, no row blow-up.
+    */
+  private def nearestCells(
+      emb: Column, centroids: Seq[(Int, Seq[Float])], nProbe: Int): Column = {
+    val scored = transform(
+      typedLit(centroids),
+      c => struct(
+        (-cosine(emb, c.getField("_2"))).as("neg_cos"),
+        c.getField("_1").as("cell")))
+    slice(array_sort(scored), 1, nProbe)
+  }
+
+  /** Corpus side of the IVF index: each vector labeled with its single
+    * nearest cell.
+    */
+  def ivfAssign(embeddings: DataFrame, centroids: Seq[(Int, Seq[Float])]): DataFrame =
+    embeddings.withColumn(
+      "cell",
+      element_at(nearestCells(col("embedding"), centroids, 1), 1).getField("cell"))
+
+  /** IVF ANN top-k: queries probe their `nProbe` nearest cells and rank
+    * only the candidates assigned there. Join fan-out is bounded by
+    * cell sizes (≈ corpus / nCells per cell); at 10^12-row scale the
+    * assigned corpus is written bucketed by `cell` so the probe join is
+    * co-located.
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 2): DataFrame = {
+    val centroids = ivfCentroids(embeddings, nCells)
+    val corpus = ivfAssign(embeddings, centroids)
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+    val probes = queries
+      .select(
+        col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"),
+        explode(nearestCells(col("embedding"), centroids, nProbe)).as("probe"))
+      .select(col("query_id"), col("q_emb"), col("probe.cell").as("cell"))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    probes.join(corpus, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        round(cosine(col("q_emb"), col("n_emb")), 4).as("cos"))
+      // no dedup needed: each corpus vector lives in exactly one cell,
+      // so a (query, neighbor) pair appears at most once across probes
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 
   /** ANN top-k restricted to same-bucket candidates (the scale path).

@@ -34,6 +34,25 @@ object TextOps {
       ).as("avg_token_len")
     )
 
+  /** BPE-style pre-tokenizer pattern (GPT-2 family, simplified to the
+    * lookahead-free subset so Java regex (Spark) and RE2 (DuckDB)
+    * agree): contraction suffixes, space-prefixed letter runs, digit
+    * runs, punctuation runs. Both engines use leftmost-first
+    * alternation, so match counts are identical.
+    */
+  val BpePattern: String = "'(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+  /** Subword-ish token counting: BPE pre-tokenizer match count next to
+    * the whitespace count — the standard "how many LLM tokens is this
+    * corpus" estimator, as a single codegen'd regexp_count pass.
+    */
+  def bpeTokenCount(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(BpePattern)).cast("int").as("n_bpe_tokens"),
+      size(tokens(col("text"))).as("n_ws_tokens")
+    )
+
   /** Quality signals: stopword ratio, punctuation/non-alpha ratio,
     * distinct-token ratio. Deterministic, codegen-friendly.
     */

@@ -1,0 +1,107 @@
+package graft.functions
+
+import graft.TestSpark
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** The native codegen'd CosineSim must be an exact drop-in for the
+  * composable zip_with+aggregate formulation — same double accumulation
+  * order, so EXACT bit equality, not approximate.
+  */
+class CosineSimSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def randomPairs(n: Int, dim: Int) = {
+    import spark.implicits._
+    val rnd = new Random(7)
+    (0 until n).map { i =>
+      (i.toLong,
+        Seq.fill(dim)(rnd.nextGaussian().toFloat),
+        Seq.fill(dim)(rnd.nextGaussian().toFloat))
+    }.toDF("id", "a", "b")
+  }
+
+  test("bit-identical to the zip_with+aggregate formulation on random float vectors") {
+    val df = randomPairs(500, 24)
+      .select(
+        Similarity.cosine(col("a"), col("b")).as("native"),
+        Similarity.cosineHof(col("a"), col("b")).as("hof"))
+    val rows = df.collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"native=${r.getDouble(0)} hof=${r.getDouble(1)}")
+    }
+  }
+
+  test("identical vectors give 1.0; orthogonal give 0.0") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)),
+      (Seq(1f, 0f, 0f), Seq(0f, 1f, 0f))
+    ).toDF("a", "b").select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val Array(same, orth) = df.collect().map(_.getDouble(0))
+    assert(math.abs(same - 1.0) < 1e-12)
+    assert(orth == 0.0)
+  }
+
+  test("null semantics: null array, length mismatch, null element -> null") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(Seq[Option[Float]](Some(1f), Some(2f))), Option.empty[Seq[Option[Float]]]),
+      (Some(Seq[Option[Float]](Some(1f), Some(2f))), Some(Seq[Option[Float]](Some(1f)))),
+      (Some(Seq[Option[Float]](Some(1f), None)), Some(Seq[Option[Float]](Some(1f), Some(2f))))
+    ).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("native"),
+        Similarity.cosineHof(col("a"), col("b")).as("hof"))
+    val rows = df.collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1), "null input array")
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1), "length mismatch")
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1), "null element")
+  }
+
+  test("zero-norm vector: native gives NaN (plain double division); HOF under ANSI throws") {
+    // The ONE intended divergence from the HOF twin: Spark 4's default
+    // ANSI mode turns the HOF's Divide-by-0.0 into DIVIDE_BY_ZERO, while
+    // the native expression keeps IEEE double semantics (0/0 = NaN) —
+    // a degenerate-input guard, not an error, is what a similarity join
+    // over 100 TB of embeddings wants.
+    import spark.implicits._
+    val df = Seq((Seq(0f, 0f), Seq(1f, 2f))).toDF("a", "b")
+    val Array(nat) =
+      df.select(Similarity.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(nat.isNaN)
+    assertThrows[ArithmeticException] { // SparkArithmeticException (DIVIDE_BY_ZERO)
+      df.select(Similarity.cosineHof(col("a"), col("b"))).collect()
+    }
+  }
+
+  test("interpreted eval path (filter pre-codegen / constant folding) matches") {
+    import spark.implicits._
+    // force the interpreted path by eval'ing on literals through the
+    // expression directly
+    val e = CosineSim(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1f, 2f, 3f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(4f, 5f, 6f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    val interpreted = e.eval(null).asInstanceOf[Double]
+    val Array(codegen) = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    assert(java.lang.Double.doubleToLongBits(interpreted) ==
+      java.lang.Double.doubleToLongBits(codegen))
+  }
+
+  test("double-array inputs are supported natively (no cast to float)") {
+    import spark.implicits._
+    val Array(v) = Seq((Seq(1.0, 2.0), Seq(2.0, 4.0))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(v - 1.0) < 1e-12)
+  }
+}

@@ -48,6 +48,40 @@ class AnnRecallSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  test("IVF ANN recall@3 >= 0.8 vs exact brute force on clustered data") {
+    val emb = clustered.cache()
+    val k = 3
+    val exact = Similarity.bruteForceTopK(emb, emb, k)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = Similarity.ivfTopK(emb, emb, k, nCells = 16, nProbe = 2)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (q, truth) =>
+      approx.get(q).map(a => (a & truth).size.toDouble / truth.size).getOrElse(0.0)
+    }
+    val recall = recalls.sum / recalls.size
+    info(f"IVF recall@3 = $recall%.3f over ${recalls.size} queries")
+    assert(recall >= 0.8, f"IVF ANN recall too low: $recall%.3f")
+    emb.unpersist()
+  }
+
+  test("IVF assignment: every vector gets exactly one cell; cells are stable across runs") {
+    val emb = clustered.cache()
+    val cents = Similarity.ivfCentroids(emb, 8)
+    assert(cents.length == 8 && cents.map(_._1) == (0 until 8))
+    val a1 = Similarity.ivfAssign(emb, cents).select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a2 = Similarity.ivfAssign(emb, cents).select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1.size == 300)
+    assert(a1 == a2, "assignment must be deterministic")
+    assert(a1.values.toSet.subsetOf((0 until 8).toSet))
+    emb.unpersist()
+  }
+
   test("same-bucket property: near-identical vectors collide") {
     import spark.implicits._
     val pairs = Seq(

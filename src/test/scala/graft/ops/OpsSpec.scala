@@ -128,6 +128,20 @@ class OpsSpec extends AnyFunSuite {
     assert(r(2L) == ((1L, 1L)))
   }
 
+  test("bpe token count: contractions, digits and punctuation split off") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "don't stop believing"), // don | 't | _stop | _believing = 4
+      (2L, "abc123 x-y"), // abc | 123 | _x | - | y = 5
+      (3L, "plain words here") // 3
+    ).toDF("doc_id", "text")
+    val r = TextOps.bpeTokenCount(d).collect()
+      .map(x => x.getLong(0) -> (x.getInt(1), x.getInt(2))).toMap
+    assert(r(1L) == ((4, 3)))
+    assert(r(2L) == ((5, 2)))
+    assert(r(3L) == ((3, 3)))
+  }
+
   test("multimodal stub: deterministic features from binary payloads") {
     import spark.implicits._
     val d = Seq((1L, "hello world", 11L)).toDF("doc_id", "text", "n_chars")
