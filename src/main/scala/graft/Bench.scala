@@ -74,8 +74,9 @@ object Bench {
   private val headlineOps = Seq(
     "q01_agg_pushdown", "q02_join_agg", "q03_window_lag", "q04_topk_per_group",
     "q06_sessionize", "q08_connected_components", "q13_simhash",
-    "q15_minhash_sig", "q16_lsh_pairs", "q19_cosine_topk", "q20_multimodal_stub",
-    "q21_minhash_fast", "q22_lsh_pairs_fast"
+    "q15_minhash_sig", "q16_lsh_pairs", "q18_embed_neardup", "q19_cosine_topk",
+    "q20_multimodal_stub", "q21_minhash_fast", "q22_lsh_pairs_fast",
+    "q23_token_bpe", "kg_ann_ivf"
   )
 
   def main(args: Array[String]): Unit = {

@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.classic.{ColumnConversions, ExpressionColumnNode}
 
 /** Bridge between graft's native Catalyst expressions and the public
@@ -22,4 +23,19 @@ object ColumnBridge {
 
   /** Resolve a Column back to the Catalyst expression it denotes. */
   def expression(c: Column): Expression = ColumnConversions.expression(c)
+
+  /** Register a native function into an EXISTING session's function
+    * registry — for sessions the caller did not build (a host-provided
+    * SparkSession, where `spark.sql.extensions` was not configurable).
+    * Sessions built by the caller should prefer the public
+    * `spark.sql.extensions` config with graft.functions.GraftExtensions.
+    */
+  def registerFunction(
+      spark: SparkSession,
+      id: FunctionIdentifier,
+      info: ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .registerFunction(id, info, builder)
 }

@@ -97,6 +97,17 @@ class CosineSimSpec extends AnyFunSuite {
       java.lang.Double.doubleToLongBits(codegen))
   }
 
+  test("SQL surface: cosine_sim registered via GraftExtensions.register works in spark.sql") {
+    GraftExtensions.register(spark)
+    val Array(v) = spark
+      .sql("SELECT cosine_sim(array(1.0F, 2.0F), array(2.0F, 4.0F)) AS c")
+      .collect().map(_.getDouble(0))
+    assert(math.abs(v - 1.0) < 1e-12)
+    // the extensions hook itself must apply cleanly (what
+    // spark.sql.extensions invokes on a fresh session build)
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("double-array inputs are supported natively (no cast to float)") {
     import spark.implicits._
     val Array(v) = Seq((Seq(1.0, 2.0), Seq(2.0, 4.0))).toDF("a", "b")

@@ -58,4 +58,19 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf(SparkEntry.queries("q19_cosine_topk")(spark, sf))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("q19/q18: similarity runs through the native cosine_sim expression") {
+    val p19 = planOf(SparkEntry.queries("q19_cosine_topk")(spark, sf))
+    assert(p19.contains("cosine_sim"), "q19 lost the native expression:\n" + p19)
+    val p18 = planOf(SparkEntry.queries("q18_embed_neardup")(spark, sf))
+    assert(p18.contains("cosine_sim"), "q18 lost the native expression:\n" + p18)
+  }
+
+  test("IVF probe join: corpus side has no per-row blow-up (no explode on corpus branch)") {
+    // cell assignment must be a projection over the scan, not a join;
+    // the only explode belongs to the (small) query side's nProbe cells
+    val plan = planOf(SparkEntry.queries("kg_ann_ivf")(spark, sf))
+    val explodes = "Generate explode".r.findAllIn(plan).length
+    assert(explodes <= 1, s"expected at most 1 explode (query probes), got $explodes:\n" + plan)
+  }
 }
