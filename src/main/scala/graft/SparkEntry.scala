@@ -170,6 +170,17 @@ object SparkEntry {
 
     "q23_token_bpe" -> ((s, dir) => TextOps.bpeTokenCount(rd(s, dir, "documents"))),
 
+    // -------- sampling + dedup clustering --------------------------------
+    "q24_deterministic_sample" -> ((s, dir) =>
+      Sampling.deterministicSample(rd(s, dir, "documents"), 20)
+        .select(col("doc_id"), col("n_chars"))),
+    "q25_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(
+        rd(s, dir, "documents"), "lang", Map("en" -> 60, "de" -> 30), defaultPct = 10)
+        .select(col("doc_id"), col("lang"))),
+    "q26_neardup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(s, rd(s, dir, "documents"))),
+
     // -------- production-path (xxhash64) variants; rows-only ------------
     "q21_minhash_fast" -> ((s, dir) => Dedup.minhashSignaturesFast(rd(s, dir, "documents"))),
     "q22_lsh_pairs_fast" -> ((s, dir) => Dedup.lshCandidates(rd(s, dir, "documents"), fast = true))
@@ -340,6 +351,30 @@ WHERE rank <= 3""",
 CAST(len(regexp_extract_all(text, '''(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS INT) AS n_bpe_tokens,
 CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens
 FROM documents""",
+    "q24_deterministic_sample" ->
+      """SELECT doc_id, n_chars FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 20""",
+    "q25_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+  < (CASE WHEN lang = 'en' THEN 60 WHEN lang = 'de' THEN 30 ELSE 10 END)""",
+    "q26_neardup_clusters" ->
+      s"""$minhashCte,
+prs AS (SELECT a.doc_id AS da, b.doc_id AS db
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+raw AS (SELECT lpad(CAST(da AS VARCHAR), 12, '0') AS src,
+               lpad(CAST(db AS VARCHAR), 12, '0') AS dst FROM prs),
+e AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+lbl AS (
+WITH RECURSIVE r(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.comp FROM r JOIN e ON e.src = r.node WHERE r.comp < e.dst)
+SELECT node, min(comp) AS comp FROM r GROUP BY node)
+SELECT d.doc_id, COALESCE(CAST(l.comp AS BIGINT), d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN lbl l ON lpad(CAST(d.doc_id AS VARCHAR), 12, '0') = l.node""",
     "q20_multimodal_stub" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS payload_len,
 md5(text) AS feature_hash,

@@ -122,6 +122,42 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** Near-duplicate CLUSTERS: LSH candidate pairs (sharing >= `minBands`
+    * bands) become edges of a duplicate graph; connected components
+    * assign every document to a cluster whose id is the smallest doc_id
+    * in it (documents with no near-dup cluster to themselves). This is
+    * the end-to-end dedup decision op — "which rows does the pipeline
+    * keep" = `cluster_id = doc_id`.
+    *
+    * Scale posture: the only data-sized shuffles are the LSH bucket
+    * self-join and the CC label propagation (both keyed, both bounded
+    * by near-dup graph size — a tiny fraction of the corpus); doc ids
+    * travel zero-padded so lexicographic min == numeric min in both
+    * this engine and the DuckDB oracle.
+    */
+  def nearDupClusters(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      bands: Int = 8,
+      k: Int = 3,
+      minBands: Int = 1
+  ): DataFrame = {
+    import spark.implicits._
+    val edges = lshCandidates(docs, bands, k)
+      .filter(col("n_shared_bands") >= minBands)
+      .select(
+        lpad(col("doc_a").cast("string"), 12, "0").as("_1"),
+        lpad(col("doc_b").cast("string"), 12, "0").as("_2"))
+      .as[(String, String)]
+    val cc = graft.kg.Canonicalize.connectedComponents(spark, edges)
+      .select(
+        col("node").cast("bigint").as("doc_id"),
+        col("comp").cast("bigint").as("cluster_id"))
+    docs.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+  }
+
   /** Jaccard similarity over distinct word k-grams for an explicit pair
     * set `(doc_a, doc_b)`. Used as the LSH verifier.
     */

@@ -142,6 +142,41 @@ class OpsSpec extends AnyFunSuite {
     assert(r(3L) == ((3, 3)))
   }
 
+  test("deterministic sample: reproducible, monotone in pct, roughly proportional") {
+    import spark.implicits._
+    val d = (0L until 1000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val s20a = Sampling.deterministicSample(d, 20).select("doc_id").collect().map(_.getLong(0)).toSet
+    val s20b = Sampling.deterministicSample(d, 20).select("doc_id").collect().map(_.getLong(0)).toSet
+    val s50 = Sampling.deterministicSample(d, 50).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s20a == s20b, "sample must be reproducible")
+    assert(s20a.subsetOf(s50), "pct buckets must nest")
+    assert(s20a.size > 120 && s20a.size < 280, s"~20% of 1000 expected, got ${s20a.size}")
+    assert(Sampling.deterministicSample(d, 0).count() == 0)
+    assert(Sampling.deterministicSample(d, 100).count() == 1000)
+  }
+
+  test("stratified sample: per-stratum rates, unlisted strata use default") {
+    import spark.implicits._
+    val d = (0L until 300L).map(i => (i, Seq("en", "de", "zh")((i % 3).toInt))).toDF("doc_id", "lang")
+    val kept = Sampling.stratifiedSample(d, "lang", Map("en" -> 100, "de" -> 0), defaultPct = 0)
+      .select("lang").collect().map(_.getString(0))
+    assert(kept.toSet == Set("en") && kept.length == 100)
+  }
+
+  test("nearDupClusters: exact dups cluster to min doc_id, singletons self-cluster") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = Seq(
+      (5L, base), (9L, base), // identical → same shingles → same cluster
+      (7L, "one two three four five six seven eight nine ten"),
+      (8L, "totally different words with nothing shared at all here now")
+    ).toDF("doc_id", "text")
+    val r = Dedup.nearDupClusters(spark, d).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(5L) == 5L && r(9L) == 5L, s"dups must share the min id cluster: $r")
+    assert(r(7L) == 7L && r(8L) == 8L, s"singletons cluster to themselves: $r")
+  }
+
   test("multimodal stub: deterministic features from binary payloads") {
     import spark.implicits._
     val d = Seq((1L, "hello world", 11L)).toDF("doc_id", "text", "n_chars")
