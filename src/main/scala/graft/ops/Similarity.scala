@@ -174,12 +174,23 @@ object Similarity {
   }
 
   /** ANN top-k restricted to same-bucket candidates (the scale path).
-    * Recall < 1 by construction; multi-probe = union over bit-flipped
-    * buckets (not needed at test scale).
+    * Recall < 1 by construction; `multiProbe = true` additionally probes
+    * every bucket at Hamming distance 1 from the query's (flip each of
+    * the `nPlanes` sign bits) — the standard multi-probe LSH recall
+    * lever: candidate budget grows ×(nPlanes+1) on the QUERY side only,
+    * the corpus keeps exactly one bucket per vector, so no pair can be
+    * scored twice and the join stays keyed on the bucket.
     */
-  def bucketedTopK(embeddings: DataFrame, k: Int, nPlanes: Int = 8): DataFrame = {
+  def bucketedTopK(
+      embeddings: DataFrame, k: Int, nPlanes: Int = 8, multiProbe: Boolean = false): DataFrame = {
     val b = lshBuckets(embeddings, nPlanes).cache()
-    val a = b.select(col("bucket"), col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probes =
+      if (!multiProbe) array(col("bucket"))
+      else array(col("bucket") +: (0 until nPlanes)
+        .map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)
+    val a = b.select(
+      explode(probes).as("bucket"),
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val c = b.select(col("bucket"), col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
     val w = Window
       .partitionBy(col("query_id"))

@@ -48,6 +48,30 @@ class AnnRecallSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  test("multi-probe LSH recall@3 beats single-probe and reaches >= 0.95") {
+    val emb = clustered.cache()
+    val k = 3
+    val exact = Similarity.bruteForceTopK(emb, emb, k)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val approx = df.collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val rs = exact.map { case (q, truth) =>
+        approx.get(q).map(a => (a & truth).size.toDouble / truth.size).getOrElse(0.0)
+      }
+      rs.sum / rs.size
+    }
+    val single = recallOf(Similarity.bucketedTopK(emb, k, nPlanes = 6))
+    val multi = recallOf(Similarity.bucketedTopK(emb, k, nPlanes = 6, multiProbe = true))
+    info(f"single-probe recall@3 = $single%.3f, multi-probe = $multi%.3f")
+    assert(multi >= single, "multi-probe must not lose recall")
+    assert(multi >= 0.95, f"multi-probe recall too low: $multi%.3f")
+    emb.unpersist()
+  }
+
   test("IVF ANN recall@3 >= 0.8 vs exact brute force on clustered data") {
     val emb = clustered.cache()
     val k = 3
