@@ -1,0 +1,144 @@
+package graft
+
+import graft.core.{GoldSpan, Tok, TaggedTok, Tokenize}
+import graft.ner.{Decode, Features}
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests (SURVEY §5 test plan): randomized invariants over the
+  * pure per-sentence stages.
+  *
+  * - decode ∘ tag round-trip: for token-aligned, non-adjacent spans the
+  *   tag → decode chain recovers exactly the gold spans (non-adjacent
+  *   because the reference's decoder drops an open entity when a B
+  *   follows immediately — the B-after-B quirk, tested separately in
+  *   DecodeSpec);
+  * - tokenizer offsets: on quote-free text, token spans are in-order,
+  *   non-overlapping, and each token's form equals the substring at its
+  *   offsets whenever the tokenizer did not rewrite the form;
+  * - decode totality: any tag sequence decodes without throwing, and
+  *   every emitted mention's type comes from some tag in the input.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** Run a Prop with a fixed seed (deterministic CI) and 300 cases. */
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(300)
+        .withInitialSeed(Seed(42L)),
+      prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val word: Gen[String] =
+    Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+
+  private val etypes = Seq("drug", "group", "brand", "drug_n")
+
+  /** Sentence of 1..20 words, single-space separated. */
+  private val sentenceGen: Gen[List[String]] = Gen.choose(1, 20).flatMap(Gen.listOfN(_, word))
+
+  private def toksOf(words: List[String]): Vector[Tok] = {
+    var off = 0
+    words.map { w =>
+      val t = Tok(w, off, off + w.length - 1)
+      off += w.length + 1
+      t
+    }.toVector
+  }
+
+  test("property: decode ∘ tag recovers token-aligned, non-adjacent gold spans exactly") {
+    val gen = for {
+      words <- sentenceGen
+      n = words.length
+      // pick span starts/lengths greedily with at least one O token gap
+      picks <- Gen.listOfN(n, Gen.choose(0, 9)) // decision stream
+      types <- Gen.listOfN(n, Gen.oneOf(etypes))
+    } yield (words, picks, types)
+
+    check(Prop.forAll(gen) { case (words, picks, types) =>
+      val toks = toksOf(words)
+      val n = toks.length
+      // deterministic span construction from the decision stream:
+      // at index i (if free), picks(i) < 4 opens a span of picks(i)+1
+      // tokens (clamped), then one token must stay O (gap)
+      val spans = Vector.newBuilder[GoldSpan]
+      var i = 0
+      var id = 0
+      while (i < n) {
+        if (picks(i) < 4) {
+          val len = math.min(picks(i) + 1, n - i)
+          val s = toks(i)
+          val e = toks(i + len - 1)
+          spans += GoldSpan(s"e$id", s.start, e.end, types(i),
+            words.slice(i, i + len).mkString(" "), s"${s.start}-${e.end}")
+          id += 1
+          i += len + 1 // gap token stays O
+        } else i += 1
+      }
+      val gold = spans.result()
+      val tagged = toks.map(t => TaggedTok(t.form, t.start, t.end, Features.getTag(t, gold)))
+      val decoded = Decode.decode("s1", tagged)
+      assert(decoded.map(m => (m.start, m.end, m.etype)) ==
+        gold.map(g => (g.start, g.end, g.etype)),
+        s"gold=$gold tagged=${tagged.map(_.tag)} decoded=$decoded")
+      // and the reconstructed text is the space-joined token forms
+      assert(decoded.map(_.text) == gold.map(_.text))
+      true
+    })
+  }
+
+  test("property: tokenizer offsets are ordered, non-overlapping, substring-faithful on safe text") {
+    val safeWord: Gen[String] = Gen.choose(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.alphaChar,
+        1 -> Gen.numChar,
+        1 -> Gen.oneOf('-', '.', ','))).map(_.mkString))
+    val textGen = Gen.choose(1, 15).flatMap(Gen.listOfN(_, safeWord)).map(_.mkString(" "))
+    check(Prop.forAll(textGen) { txt =>
+      val toks = Tokenize.tokenize(txt)
+      // in-order and non-overlapping for non-rewritten tokens
+      val located = toks.filter(t => t.start >= 0)
+      located.sliding(2).foreach {
+        case Vector(a, b) => assert(b.start > a.end, s"overlap: $a $b in '$txt'")
+        case _ =>
+      }
+      located.foreach { t =>
+        if (t.start + t.form.length <= txt.length &&
+          txt.substring(t.start, t.start + t.form.length) == t.form) {
+          assert(t.end == t.start + t.form.length - 1, s"end mismatch for $t")
+        }
+      }
+      // every alphanumeric char of the input is covered by some token
+      val covered = located.flatMap(t => t.start to t.end).toSet
+      txt.zipWithIndex.foreach { case (c, i) =>
+        if (c.isLetterOrDigit) assert(covered.contains(i), s"char $i '$c' uncovered in '$txt'")
+      }
+      true
+    })
+  }
+
+  test("property: decode never throws and only emits types present in the tags") {
+    val tagGen = Gen.oneOf(
+      Gen.const("O"),
+      Gen.oneOf(etypes).map("B-" + _),
+      Gen.oneOf(etypes).map("I-" + _))
+    val gen = for {
+      words <- sentenceGen
+      tags <- Gen.listOfN(words.length, tagGen)
+    } yield (words, tags)
+    check(Prop.forAll(gen) { case (words, tags) =>
+      val toks = toksOf(words)
+      val tagged = toks.zip(tags).map { case (t, y) => TaggedTok(t.form, t.start, t.end, y) }
+      val ms = Decode.decode("s1", tagged)
+      val tagTypes = tags.collect { case t if t != "O" => t.drop(2) }.toSet
+      ms.foreach { m =>
+        assert(tagTypes.contains(m.etype))
+        assert(m.start >= 0 && m.end >= m.start)
+      }
+      true
+    })
+  }
+}
