@@ -180,6 +180,19 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))),
     "q26_neardup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(s, rd(s, dir, "documents"))),
+    "q27_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDup(rd(s, dir, "documents"), maxHamming = 3)),
+    "q28_rollup_stats" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))),
+    "q29_length_quantiles" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n_chars, 0.9)"), 4).as("p90"),
+          max(col("n_chars")).as("p100"))),
 
     // -------- production-path (xxhash64) variants; rows-only ------------
     "q21_minhash_fast" -> ((s, dir) => Dedup.minhashSignaturesFast(rd(s, dir, "documents"))),
@@ -375,6 +388,25 @@ WITH RECURSIVE r(node, comp) AS (
 SELECT node, min(comp) AS comp FROM r GROUP BY node)
 SELECT d.doc_id, COALESCE(CAST(l.comp AS BIGINT), d.doc_id) AS cluster_id
 FROM documents d LEFT JOIN lbl l ON lpad(CAST(d.doc_id AS VARCHAR), 12, '0') = l.node""",
+    "q27_simhash_neardup" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS h FROM w),
+v AS (SELECT doc_id, $simhashVotes FROM h GROUP BY doc_id),
+s AS (SELECT doc_id, CAST($simhashBits AS BIGINT) AS simhash FROM v)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+    "q28_rollup_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY ROLLUP (lang, source)""",
+    "q29_length_quantiles" ->
+      """SELECT lang,
+round(quantile_cont(n_chars, 0.5), 4) AS p50,
+round(quantile_cont(n_chars, 0.9), 4) AS p90,
+max(n_chars) AS p100
+FROM documents GROUP BY 1""",
     "q20_multimodal_stub" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS payload_len,
 md5(text) AS feature_hash,

@@ -158,6 +158,42 @@ object Dedup {
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
   }
 
+  /** SimHash near-duplicates: pairs whose `bits`-bit simhash differs in
+    * at most `maxHamming` bits. Candidates are blocked on
+    * `maxHamming + 1` disjoint bit-bands of the fingerprint — by
+    * pigeonhole, any pair within the distance budget agrees on at least
+    * one whole band, so banding is LOSSLESS (result identical to the
+    * O(n²) scan the DuckDB oracle runs) while the join stays keyed on
+    * (band, key) buckets. This is the standard web-scale simhash dedup
+    * layout (64-bit hash / 4 bands in production; 16/4 here to match
+    * the oracle-checkable TextOps.simhash).
+    */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3, bits: Int = 16): DataFrame = {
+    val bands = maxHamming + 1
+    require(bits % bands == 0, s"bits=$bits must split into ${bands} equal bands")
+    val w = bits / bands
+    val sh = TextOps.simhash(docs, bits)
+    val banded = sh.select(
+      col("doc_id"),
+      col("simhash"),
+      explode(array((0 until bands).map(b =>
+        struct(
+          lit(b).as("band"),
+          shiftright(col("simhash"), b * w).bitwiseAND(lit((1L << w) - 1)).as("key"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("simhash").as("h_a"))
+    val b = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("simhash").as("h_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b") // a pair can agree on several bands
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Jaccard similarity over distinct word k-grams for an explicit pair
     * set `(doc_a, doc_b)`. Used as the LSH verifier.
     */

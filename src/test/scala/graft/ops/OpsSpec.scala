@@ -177,6 +177,30 @@ class OpsSpec extends AnyFunSuite {
     assert(r(7L) == 7L && r(8L) == 8L, s"singletons cluster to themselves: $r")
   }
 
+  test("simhashNearDup: banded candidates equal the brute-force hamming scan") {
+    import spark.implicits._
+    // near-identical docs (1 token changed) land within hamming 3;
+    // disjoint-vocab docs do not
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val banded = Dedup.simhashNearDup(d, maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // brute force over all pairs with the same fingerprint
+    val sh = TextOps.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      h = java.lang.Long.bitCount(sh(a) ^ sh(b)) if h <= 3
+    } yield (a, b) -> h).toMap
+    assert(banded == brute, s"banded=$banded brute=$brute")
+    assert(banded.contains((1L, 4L)) && banded((1L, 4L)) == 0, "exact dup pair missing")
+    assert(!banded.keys.exists { case (a, b) => a == 3L || b == 3L }, "disjoint doc paired")
+  }
+
   test("multimodal stub: deterministic features from binary payloads") {
     import spark.implicits._
     val d = Seq((1L, "hello world", 11L)).toDF("doc_id", "text", "n_chars")
