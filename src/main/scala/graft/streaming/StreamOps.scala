@@ -39,6 +39,32 @@ object StreamOps {
         col("total_value")
       )
 
+  /** Streaming KG construction: the SAME fused parse → tokenize → NER
+    * score/decode → DDI classify → triples pass the batch pipeline
+    * runs, applied to a streaming docs source (`readStream` of the
+    * input_hint table shape). The pass is stateless per document (all
+    * models broadcast, zero shuffle — PlanSpec), so it runs in append
+    * mode with no watermark or state store: ingest-time scoring at the
+    * micro-batch cadence. StreamOpsSpec proves stream results ==
+    * batch results on the same documents.
+    */
+  def scoreStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      models: org.apache.spark.broadcast.Broadcast[graft.pipeline.Pipeline.Models]
+  ): Dataset[graft.pipeline.Pipeline.SentenceResult] =
+    graft.pipeline.Pipeline.score(spark, graft.pipeline.Pipeline.parse(spark, docs), models)
+
+  /** Streaming exact dedup: drop events whose `event_id` was already
+    * seen, with state bounded by the watermark (`dropDuplicates` keys
+    * expire once the watermark passes their event time — the streaming
+    * twin of ops.Dedup.exact's groupBy).
+    */
+  def dedupStream(events: DataFrame, lateSec: Int = 600): DataFrame =
+    events
+      .withWatermark("ts", s"$lateSec seconds")
+      .dropDuplicates("event_id")
+
   /** Gap-based streaming sessionization with per-user state. A session
     * closes when no event arrives within `gapSec` of the last one
     * (event time, enforced via watermark + state timeout).

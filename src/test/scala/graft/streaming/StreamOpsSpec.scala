@@ -35,6 +35,57 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(rows.contains((10L, "view", 1L, 3.0)))
   }
 
+  test("scoreStream: streaming KG pass equals the batch pipeline on the same docs") {
+    import spark.implicits._
+    import graft.core.DocRow
+    import graft.pipeline.Pipeline
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = graft.fixtures.DocGen.corpus(spark, 30)
+    val train = Pipeline.parse(spark, corpus)
+    val models = spark.sparkContext.broadcast(Pipeline.fit(spark, train, "hybrid"))
+
+    val batch = Pipeline.score(spark, train, models).collect()
+      .map(r => r.sid -> (r.mentions.toList, r.triples.toList)).toMap
+
+    val docRows = corpus
+      .select("repo", "path", "commit", "lang", "content").as[DocRow].collect()
+    val mem = MemoryStream[DocRow]
+    mem.addData(docRows.take(15).toSeq)
+    val q = StreamOps.scoreStream(spark, mem.toDF(), models)
+      .writeStream.format("memory").queryName("kg_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    mem.addData(docRows.drop(15).toSeq) // second micro-batch
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("kg_stream").as[Pipeline.SentenceResult].collect()
+      .map(r => r.sid -> (r.mentions.toList, r.triples.toList)).toMap
+    assert(streamed == batch, s"stream(${streamed.size}) != batch(${batch.size})")
+    assert(batch.valuesIterator.map(_._1.size).sum > 0, "fixture produced no mentions")
+    models.destroy()
+  }
+
+  test("dedupStream: duplicate event ids dropped across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Event]
+    mem.addData(
+      StreamOps.Event(1, ts(1), 1, "click", 1.0),
+      StreamOps.Event(1, ts(1), 1, "click", 1.0), // dup in-batch
+      StreamOps.Event(2, ts(2), 2, "view", 2.0)
+    )
+    val q = StreamOps.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    mem.addData(StreamOps.Event(1, ts(3), 1, "click", 1.0)) // dup across batches
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L), s"expected exactly one of each id, got ${ids.toSeq}")
+  }
+
   test("sessionizeStream: state closes a session after the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

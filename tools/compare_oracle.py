@@ -23,6 +23,7 @@ for name in sorted(os.listdir(out)):
     d = os.path.join(out, name)
     if not os.path.isdir(d):
         continue
+    name = name[:-8] if name.endswith(".parquet") else name
     spark_df = pd.read_parquet(d)
     if name not in oracle:
         print(f"ROWS-ONLY {name}: {len(spark_df)} rows")
