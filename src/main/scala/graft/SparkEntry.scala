@@ -201,12 +201,14 @@ object SparkEntry {
 
   // ---- DuckDB oracles --------------------------------------------------
 
-  private val simhashVotes: String = (0 until 16)
+  private def simhashVotesN(bits: Int): String = (0 until bits)
     .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
     .mkString(", ")
-  private val simhashBits: String = (0 until 16)
+  private def simhashBitsN(bits: Int): String = (0 until bits)
     .map(j => s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END")
     .mkString(" + ")
+  private val simhashVotes: String = simhashVotesN(16)
+  private val simhashBits: String = simhashBitsN(16)
 
   private val shingleCte =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -390,9 +392,9 @@ SELECT d.doc_id, COALESCE(CAST(l.comp AS BIGINT), d.doc_id) AS cluster_id
 FROM documents d LEFT JOIN lbl l ON lpad(CAST(d.doc_id AS VARCHAR), 12, '0') = l.node""",
     "q27_simhash_neardup" ->
       s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS h FROM w),
-v AS (SELECT doc_id, $simhashVotes FROM h GROUP BY doc_id),
-s AS (SELECT doc_id, CAST($simhashBits AS BIGINT) AS simhash FROM v)
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM w),
+v AS (SELECT doc_id, ${simhashVotesN(60)} FROM h GROUP BY doc_id),
+s AS (SELECT doc_id, CAST(${simhashBitsN(60)} AS BIGINT) AS simhash FROM v)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM s a JOIN s b ON a.doc_id < b.doc_id

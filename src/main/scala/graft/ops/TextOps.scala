@@ -108,13 +108,17 @@ object TextOps {
       size(tokens(col("text"))).as("n_tokens")
     )
 
-  /** SimHash over word hashes (16-bit variant, cross-engine verifiable:
-    * word hash = first 4 hex chars of md5, bit j votes +1/-1, simhash
+  /** SimHash over word hashes (cross-engine verifiable: word hash =
+    * first ceil(bits/4) hex chars of md5, bit j votes +1/-1, simhash
     * bit j = majority). One explode + one aggregation; at web scale this
-    * is a single map-side-combinable groupBy(doc_id).
+    * is a single map-side-combinable groupBy(doc_id). `bits` up to 60
+    * (15 hex digits keep the value inside a signed 64-bit long in both
+    * engines); 16 is the compact oracle-table variant (q13), 60 the
+    * production fingerprint the near-dup join uses.
     */
   def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
-    val h = conv(substring(md5(to_binary(col("tok"), lit("utf-8"))), 1, 4), 16, 10)
+    require(bits >= 1 && bits <= 60, s"bits must be 1..60, got $bits")
+    val h = conv(substring(md5(to_binary(col("tok"), lit("utf-8"))), 1, (bits + 3) / 4), 16, 10)
       .cast("long")
     val votes = (0 until bits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))

@@ -179,8 +179,7 @@ class OpsSpec extends AnyFunSuite {
 
   test("simhashNearDup: banded candidates equal the brute-force hamming scan") {
     import spark.implicits._
-    // near-identical docs (1 token changed) land within hamming 3;
-    // disjoint-vocab docs do not
+    // exact dups are hamming 0; disjoint-vocab docs are far apart
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
       (2L, "alpha beta gamma delta epsilon zeta eta iota"),
@@ -191,7 +190,7 @@ class OpsSpec extends AnyFunSuite {
       .select("doc_a", "doc_b", "hamming").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     // brute force over all pairs with the same fingerprint
-    val sh = TextOps.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sh = TextOps.simhash(d, 60).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val brute = (for {
       a <- sh.keys; b <- sh.keys if a < b
       h = java.lang.Long.bitCount(sh(a) ^ sh(b)) if h <= 3
