@@ -221,7 +221,8 @@ sh AS (SELECT doc_id,
 x AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
 b AS (SELECT doc_id, shingle, unnest(generate_series(0, 7)) AS band FROM x),
 sigs AS (SELECT doc_id, band,
-  min(('0x' || substr(md5(shingle || '#' || CAST(band AS VARCHAR)), 1, 15))::BIGINT) AS sig
+  min(('0x' || substr(md5(shingle || '#' || CAST(band // 2 AS VARCHAR)),
+                      1 + 15 * (band % 2), 15))::BIGINT) AS sig
          FROM b GROUP BY doc_id, band)"""
 
   def oracleSql: Map[String, String] = Map(

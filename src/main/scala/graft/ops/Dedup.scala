@@ -67,14 +67,21 @@ object Dedup {
       .toDF("doc_id", "shingle")
   }
 
-  /** 60-bit hash of `shingle` salted by band `b`: the first 15 hex chars
-    * of md5, as a LONG. Numeric so min() aggregates in a mutable
+  /** 60-bit hash of `shingle` salted by band `b`: 15 hex chars of md5,
+    * as a LONG. One md5 digest (32 hex chars) feeds TWO bands — bands
+    * 2i and 2i+1 take disjoint 15-char windows of md5(shingle#i) —
+    * halving digest work; codegen subexpression elimination computes
+    * each md5 once per row. Numeric so min() aggregates in a mutable
     * HashAggregate buffer (min over strings silently degrades to
     * SortAggregate); cross-engine because DuckDB computes the identical
-    * value with ('0x' || substr(md5(s), 1, 15))::BIGINT.
+    * value with ('0x' || substr(md5(...), pos, 15))::BIGINT.
     */
   private def bandHash(shingle: Column, b: Int): Column =
-    conv(substring(md5(to_binary(concat(shingle, lit(s"#$b")), lit("utf-8"))), 1, 15), 16, 10)
+    conv(
+      substring(
+        md5(to_binary(concat(shingle, lit(s"#${b / 2}")), lit("utf-8"))),
+        1 + 15 * (b % 2), 15),
+      16, 10)
       .cast("long")
 
   def minhashSignatures(docs: DataFrame, bands: Int = 8, k: Int = 3): DataFrame =
@@ -96,9 +103,14 @@ object Dedup {
   ): DataFrame = {
     // all band-minimums in ONE partial+final hash aggregation: the
     // shuffle carries `bands` longs per doc instead of
-    // `bands` x shingle-count rows (the naive explode-by-band plan)
-    val mins = (0 until bands).map(b => min(hashFn(col("shingle"), b)).as(s"sig$b"))
-    val agg = shingleRows(docs, k).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    // `bands` x shingle-count rows (the naive explode-by-band plan).
+    // Hashes are projected BEFORE the aggregate so Project-level
+    // subexpression elimination shares each md5 digest across its two
+    // bands (agg-input expressions don't get that elimination).
+    val hashed = shingleRows(docs, k).select(
+      col("doc_id") +: (0 until bands).map(b => hashFn(col("shingle"), b).as(s"h$b")): _*)
+    val mins = (0 until bands).map(b => min(col(s"h$b")).as(s"sig$b"))
+    val agg = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     val stackExpr = (0 until bands).map(b => s"$b, sig$b").mkString(", ")
     agg.select(
       col("doc_id"),
