@@ -139,6 +139,8 @@ object SparkEntry {
     "q07_salted_agg" -> ((s, dir) => Events.saltedSum(rd(s, dir, "events"))),
     "q08_connected_components" -> ((s, dir) => Events.eventComponents(s, rd(s, dir, "events"))),
 
+    "q30_asof_join" -> ((s, dir) => Events.asofJoin(rd(s, dir, "events"))),
+
     // -------- text analysis -------------------------------------------
     "q09_token_stats" -> ((s, dir) => TextOps.tokenStats(rd(s, dir, "documents"))),
     "q10_quality_score" -> ((s, dir) => TextOps.qualityScore(rd(s, dir, "documents"))),
@@ -293,6 +295,12 @@ WITH RECURSIVE r(node, comp) AS (
   SELECT e.dst, r.comp FROM r JOIN e ON e.src = r.node WHERE r.comp < e.dst)
 SELECT node, min(comp) AS comp FROM r GROUP BY node)
 SELECT node, comp FROM lbl""",
+    "q30_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, round(max(value), 2) AS pv
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT c.event_id, c.user_id, c.ts, p.pv AS asof_purchase
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""",
     "q09_token_stats" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
 CAST(length(text) AS INT) AS n_chars,

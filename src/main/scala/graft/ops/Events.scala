@@ -102,4 +102,33 @@ object Events {
       .connectedComponents(spark, edges)
       .select(col("node"), col("comp"))
   }
+
+  /** As-of join: for each `click` event, the most recent `purchase`
+    * value at-or-before it for the same user (the standard time-series
+    * enrichment operator Spark has no native form of). Formulated as
+    * the union + running-last_value window — ONE shuffle on
+    * (user_id), no range self-join blow-up: right rows sort before
+    * left rows at equal timestamps (`src` tiebreak) so ties resolve to
+    * ">= semantics" exactly like DuckDB's ASOF JOIN oracle. Right side
+    * is pre-aggregated to one row per (user, ts) so the pick is
+    * well-defined in both engines.
+    */
+  def asofJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("src"),
+        lit(null).cast("double").as("p_value"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(round(max(col("value")), 2).as("pv"))
+      .select(lit(null).cast("long").as("event_id"), col("user_id"), col("ts"),
+        lit(0).as("src"), col("pv").as("p_value"))
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("asof_purchase", last(col("p_value"), ignoreNulls = true).over(w))
+      .filter(col("src") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("asof_purchase"))
+  }
 }

@@ -200,6 +200,25 @@ class OpsSpec extends AnyFunSuite {
     assert(!banded.keys.exists { case (a, b) => a == 3L || b == 3L }, "disjoint doc paired")
   }
 
+  test("asofJoin: each click sees the latest purchase at-or-before it, else null") {
+    import spark.implicits._
+    def t(min: Long) = new java.sql.Timestamp(60000L * min)
+    val d = Seq(
+      (1L, t(5), 1L, "click", 0.0), // before any purchase -> null
+      (2L, t(10), 1L, "purchase", 7.0),
+      (3L, t(10), 1L, "click", 0.0), // tie: sees the 10-min purchase (>= semantics)
+      (4L, t(20), 1L, "purchase", 9.0),
+      (5L, t(25), 1L, "click", 0.0), // sees 9.0, not 7.0
+      (6L, t(25), 2L, "click", 0.0) // other user -> null
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.asofJoin(d).collect()
+      .map(x => x.getLong(0) -> Option(x.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(r(1L).isEmpty)
+    assert(r(3L).contains(7.0))
+    assert(r(5L).contains(9.0))
+    assert(r(6L).isEmpty)
+  }
+
   test("multimodal stub: deterministic features from binary payloads") {
     import spark.implicits._
     val d = Seq((1L, "hello world", 11L)).toDF("doc_id", "text", "n_chars")
