@@ -140,6 +140,9 @@ object SparkEntry {
     "q08_connected_components" -> ((s, dir) => Events.eventComponents(s, rd(s, dir, "events"))),
 
     "q30_asof_join" -> ((s, dir) => Events.asofJoin(rd(s, dir, "events"))),
+    "q31_range_join" -> ((s, dir) => Events.rangeJoin(rd(s, dir, "events"))),
+    // HLL sketch differs across engines -> rows-only; OpsSpec gates accuracy
+    "q32_approx_distinct" -> ((s, dir) => Events.approxDistinctUsers(rd(s, dir, "events"))),
 
     // -------- text analysis -------------------------------------------
     "q09_token_stats" -> ((s, dir) => TextOps.tokenStats(rd(s, dir, "documents"))),
@@ -301,6 +304,12 @@ SELECT node, comp FROM lbl""",
 c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
 SELECT c.event_id, c.user_id, c.ts, p.pv AS asof_purchase
 FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts""",
+    "q31_range_join" ->
+      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+FROM events a JOIN events b ON a.user_id = b.user_id
+WHERE a.event_id <> b.event_id
+  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 300 SECONDS
+  AND (b.ts > a.ts OR a.event_id < b.event_id)""",
     "q09_token_stats" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
 CAST(length(text) AS INT) AS n_chars,

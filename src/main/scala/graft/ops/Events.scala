@@ -103,6 +103,35 @@ object Events {
       .select(col("node"), col("comp"))
   }
 
+  /** Range self-join: ordered pairs of events by the same user within
+    * `windowSec` of each other (a → later b). Plans as an equi-join on
+    * the user key with the range as a residual filter — the correct
+    * physical shape when the equi key is selective (per-user event
+    * counts are small); a pure range join without an equi key would
+    * need a broadcast-nested-loop or bucketed-interval scheme instead.
+    */
+  def rangeJoin(events: DataFrame, windowSec: Long = 300L): DataFrame = {
+    val a = events.select(col("event_id").as("id_a"), col("user_id"), col("ts").as("ts_a"))
+    val b = events.select(col("event_id").as("id_b"), col("user_id"), col("ts").as("ts_b"))
+    a.join(b, Seq("user_id"))
+      .filter(col("id_a") =!= col("id_b") &&
+        col("ts_b") >= col("ts_a") &&
+        col("ts_b") <= col("ts_a") + expr(s"INTERVAL $windowSec SECONDS") &&
+        (col("ts_b") > col("ts_a") || col("id_a") < col("id_b"))) // dedupe exact ties
+      .select(col("user_id"), col("id_a"), col("id_b"))
+  }
+
+  /** Approximate distinct users per event type (HyperLogLog++). The
+    * sketch differs across engines, so the driver check is rows-only;
+    * OpsSpec gates the estimate against the exact count (<= 5% rsd
+    * configured, assert within 10%).
+    */
+  def approxDistinctUsers(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.05).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+
   /** As-of join: for each `click` event, the most recent `purchase`
     * value at-or-before it for the same user (the standard time-series
     * enrichment operator Spark has no native form of). Formulated as

@@ -219,6 +219,33 @@ class OpsSpec extends AnyFunSuite {
     assert(r(6L).isEmpty)
   }
 
+  test("rangeJoin: same-user pairs within the window, ordered, tie-deduped") {
+    import spark.implicits._
+    def t(min: Long) = new java.sql.Timestamp(60000L * min)
+    val d = Seq(
+      (1L, t(0), 1L, "a", 0.0),
+      (2L, t(3), 1L, "a", 0.0), // within 5 min of 1
+      (3L, t(9), 1L, "a", 0.0), // outside 5 min of both 1 and 2? 9-3=6 > 5
+      (4L, t(0), 2L, "a", 0.0), // same ts as 1, other user
+      (5L, t(0), 2L, "a", 0.0) // exact tie with 4 -> one pair only
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val pairs = Events.rangeJoin(d, 300).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 1L, 2L), (2L, 4L, 5L)), pairs.toString)
+  }
+
+  test("approxDistinctUsers: HLL estimate within 10% of exact") {
+    import spark.implicits._
+    val d = (0L until 5000L)
+      .map(i => (i, new java.sql.Timestamp(i), i % 997, if (i % 2 == 0) "click" else "view", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    Events.approxDistinctUsers(d).collect().foreach { r =>
+      val (approx, exact) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approx - exact).toDouble / exact <= 0.10,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+
   test("multimodal stub: deterministic features from binary payloads") {
     import spark.implicits._
     val d = Seq((1L, "hello world", 11L)).toDF("doc_id", "text", "n_chars")
