@@ -24,7 +24,12 @@ import org.apache.spark.sql.types._
   * equality):
   *   - null input array, length mismatch, or null element → null
   *     (zip_with pads/propagates nulls → the aggregate sum goes null);
-  *   - zero-norm vectors → NaN (0/0), as plain double division gives.
+  *   - zero-norm vectors → null. NOT NaN: Spark orders NaN greater than
+  *     every double, so a 0/0 NaN would rank FIRST in every descending
+  *     top-k and pass every `>= threshold` filter — a zero embedding
+  *     would silently become everyone's nearest neighbor. Null drops
+  *     out of filters and sorts last. (The HOF twin under ANSI throws
+  *     DIVIDE_BY_ZERO instead — the one documented divergence.)
   */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -61,7 +66,8 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       dot += p * q; na += p * p; nb += q * q
       i += 1
     }
-    dot / math.sqrt(na * nb)
+    if (na == 0.0 || nb == 0.0) null
+    else dot / math.sqrt(na * nb)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -87,7 +93,11 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
          |    $dot += $p * $q; $na += $p * $p; $nb += $q * $q;
          |  }
          |  if (!${ev.isNull}) {
-         |    ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+         |    if ($na == 0.0 || $nb == 0.0) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+         |    }
          |  }
          |}
        """.stripMargin

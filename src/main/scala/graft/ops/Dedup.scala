@@ -204,8 +204,11 @@ object Dedup {
         col("doc_a"),
         col("doc_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
-      .dropDuplicates("doc_a", "doc_b") // a pair can agree on several bands
+      // filter BEFORE the dedup aggregate: hamming is deterministic per
+      // pair, and most band collisions fail the threshold — dropping
+      // them first keeps the dedup shuffle small
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("doc_a", "doc_b") // a pair can agree on several bands
   }
 
   /** Jaccard similarity over distinct word k-grams for an explicit pair

@@ -143,20 +143,25 @@ object Events {
     * well-defined in both engines.
     */
   def asofJoin(events: DataFrame): DataFrame = {
+    // the window picks the last purchase ROW (a non-null struct), not
+    // the last non-null VALUE — so a most-recent purchase whose value
+    // is NULL yields NULL, exactly like ASOF JOIN, instead of falling
+    // back to an older purchase's value
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("src"),
-        lit(null).cast("double").as("p_value"))
+        lit(null).cast("struct<pv:double>").as("p_row"))
     val purchases = events.filter(col("event_type") === "purchase")
       .groupBy(col("user_id"), col("ts"))
       .agg(round(max(col("value")), 2).as("pv"))
       .select(lit(null).cast("long").as("event_id"), col("user_id"), col("ts"),
-        lit(0).as("src"), col("pv").as("p_value"))
+        lit(0).as("src"), struct(col("pv")).as("p_row"))
     val w = Window
       .partitionBy(col("user_id"))
       .orderBy(col("ts"), col("src"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     clicks.unionByName(purchases)
-      .withColumn("asof_purchase", last(col("p_value"), ignoreNulls = true).over(w))
+      .withColumn("asof_purchase",
+        last(col("p_row"), ignoreNulls = true).over(w).getField("pv"))
       .filter(col("src") === 1)
       .select(col("event_id"), col("user_id"), col("ts"), col("asof_purchase"))
   }

@@ -14,12 +14,18 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** The 0..99 bucket of a row id — the single cross-engine contract
+    * expression (DuckDB oracle: ('0x' || substr(md5(CAST(id AS
+    * VARCHAR)), 1, 8))::BIGINT % 100); both sampling ops MUST go
+    * through this one definition.
+    */
+  private def bucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("bigint") % 100
+
   /** Keep rows whose md5-derived bucket (0..99) is < `pct`. */
   def deterministicSample(docs: DataFrame, pct: Int): DataFrame = {
     require(pct >= 0 && pct <= 100, s"pct must be 0..100, got $pct")
-    docs.filter(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint") % 100 < pct)
+    docs.filter(bucket(col("doc_id")) < pct)
   }
 
   /** Per-stratum deterministic rates: `rates` maps values of
@@ -36,8 +42,6 @@ object Sampling {
     val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (value, p)) =>
       when(col(strataCol) === value, lit(p)).otherwise(acc)
     }
-    docs.filter(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint") % 100 < pct)
+    docs.filter(bucket(col("doc_id")) < pct)
   }
 }

@@ -56,14 +56,16 @@ object StreamOps {
     graft.pipeline.Pipeline.score(spark, graft.pipeline.Pipeline.parse(spark, docs), models)
 
   /** Streaming exact dedup: drop events whose `event_id` was already
-    * seen, with state bounded by the watermark (`dropDuplicates` keys
-    * expire once the watermark passes their event time — the streaming
-    * twin of ops.Dedup.exact's groupBy).
+    * seen, with state bounded by the watermark. Must be
+    * `dropDuplicatesWithinWatermark`: plain `dropDuplicates("event_id")`
+    * never evicts state (the eviction predicate is only built when the
+    * event-time column is part of the dedup key), so a long-running
+    * ingest would grow the state store per distinct id forever.
     */
   def dedupStream(events: DataFrame, lateSec: Int = 600): DataFrame =
     events
       .withWatermark("ts", s"$lateSec seconds")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Gap-based streaming sessionization with per-user state. A session
     * closes when no event arrives within `gapSec` of the last one

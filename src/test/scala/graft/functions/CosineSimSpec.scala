@@ -64,20 +64,41 @@ class CosineSimSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(0) && rows(2).isNullAt(1), "null element")
   }
 
-  test("zero-norm vector: native gives NaN (plain double division); HOF under ANSI throws") {
+  test("zero-norm vector: native gives null (never NaN); HOF under ANSI throws") {
     // The ONE intended divergence from the HOF twin: Spark 4's default
-    // ANSI mode turns the HOF's Divide-by-0.0 into DIVIDE_BY_ZERO, while
-    // the native expression keeps IEEE double semantics (0/0 = NaN) —
-    // a degenerate-input guard, not an error, is what a similarity join
-    // over 100 TB of embeddings wants.
+    // ANSI mode turns the HOF's Divide-by-0.0 into DIVIDE_BY_ZERO,
+    // while the native expression returns null — NOT NaN, because Spark
+    // orders NaN above every double, so a NaN cosine would rank first
+    // in every descending top-k and pass every >= threshold filter,
+    // silently making a zero embedding everyone's nearest neighbor.
     import spark.implicits._
     val df = Seq((Seq(0f, 0f), Seq(1f, 2f))).toDF("a", "b")
-    val Array(nat) =
-      df.select(Similarity.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
-    assert(nat.isNaN)
+    val rows = df.select(Similarity.cosine(col("a"), col("b"))).collect()
+    assert(rows.head.isNullAt(0), s"expected null, got ${rows.head}")
+    // interpreted path agrees
+    val e = CosineSim(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(0f, 0f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1f, 2f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    assert(e.eval(null) == null)
     assertThrows[ArithmeticException] { // SparkArithmeticException (DIVIDE_BY_ZERO)
       df.select(Similarity.cosineHof(col("a"), col("b"))).collect()
     }
+  }
+
+  test("zero-norm vector never pollutes a top-k ranking or threshold filter") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0), 1)
+      .collect()
+    assert(top.length == 1 && top.head.getLong(1) == 1L,
+      s"zero vector must not rank first: ${top.mkString}")
+    val dups = graft.ops.Dedup.embeddingNearDup(emb, 0.5).collect()
+    assert(dups.forall(r => r.getLong(0) != 2L && r.getLong(1) != 2L),
+      "zero vector must not pass the near-dup threshold")
   }
 
   test("interpreted eval path (filter pre-codegen / constant folding) matches") {

@@ -1,18 +1,21 @@
 package graft.ops
 
 import graft.TestSpark
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
 import org.scalatest.funsuite.AnyFunSuite
 import scala.util.Random
 
-/** Quality measurement for the LSH-bucketed ANN path: recall@k against
-  * the exact brute-force neighbors on deterministic clustered
-  * embeddings (the workload ANN exists for — random noise has no
-  * recoverable neighbors and would measure nothing).
+/** Quality measurement for the ANN paths (hyperplane LSH, multi-probe
+  * LSH, IVF): recall@k against the exact brute-force neighbors on
+  * deterministic clustered embeddings (the workload ANN exists for —
+  * random noise has no recoverable neighbors and would measure
+  * nothing). One shared ground truth + recall definition so every gate
+  * measures the same thing.
   */
 class AnnRecallSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
+  private val K = 3
 
   /** 10 deterministic cluster centers in 16d, 30 points each, small
     * noise — same-cluster points are each other's true neighbors.
@@ -28,67 +31,35 @@ class AnnRecallSpec extends AnyFunSuite {
     }.toDF("vec_id", "embedding")
   }
 
-  test("bucketed ANN recall@3 >= 0.6 vs exact brute force on clustered data") {
-    val emb = clustered.cache()
-    val k = 3
-    val exact = Similarity.bruteForceTopK(emb, emb, k)
-      .collect()
+  /** (query_id -> neighbor set) from a top-k result frame. */
+  private def neighborSets(df: DataFrame): Map[Long, Set[Long]] =
+    df.collect()
       .groupBy(_.getLong(0))
       .view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    val approx = Similarity.bucketedTopK(emb, k, nPlanes = 6)
-      .collect()
-      .groupBy(_.getLong(0))
-      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    val recalls = exact.map { case (q, truth) =>
+
+  /** Mean recall of `approx` against `exact` over exact's query set. */
+  private def meanRecall(exact: Map[Long, Set[Long]], approx: Map[Long, Set[Long]]): Double = {
+    val rs = exact.map { case (q, truth) =>
       approx.get(q).map(a => (a & truth).size.toDouble / truth.size).getOrElse(0.0)
     }
-    val recall = recalls.sum / recalls.size
-    info(f"recall@3 = $recall%.3f over ${recalls.size} queries")
-    assert(recall >= 0.6, f"LSH ANN recall too low: $recall%.3f")
-    emb.unpersist()
+    rs.sum / rs.size
   }
 
-  test("multi-probe LSH recall@3 beats single-probe and reaches >= 0.95") {
+  test("ANN recall@3 vs exact brute force: LSH >= 0.6, multi-probe >= 0.95, IVF >= 0.8") {
     val emb = clustered.cache()
-    val k = 3
-    val exact = Similarity.bruteForceTopK(emb, emb, k)
-      .collect()
-      .groupBy(_.getLong(0))
-      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
-      val approx = df.collect()
-        .groupBy(_.getLong(0))
-        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
-      val rs = exact.map { case (q, truth) =>
-        approx.get(q).map(a => (a & truth).size.toDouble / truth.size).getOrElse(0.0)
-      }
-      rs.sum / rs.size
-    }
-    val single = recallOf(Similarity.bucketedTopK(emb, k, nPlanes = 6))
-    val multi = recallOf(Similarity.bucketedTopK(emb, k, nPlanes = 6, multiProbe = true))
-    info(f"single-probe recall@3 = $single%.3f, multi-probe = $multi%.3f")
-    assert(multi >= single, "multi-probe must not lose recall")
+    val exact = neighborSets(Similarity.bruteForceTopK(emb, emb, K))
+
+    val lsh = meanRecall(exact, neighborSets(Similarity.bucketedTopK(emb, K, nPlanes = 6)))
+    val multi = meanRecall(exact,
+      neighborSets(Similarity.bucketedTopK(emb, K, nPlanes = 6, multiProbe = true)))
+    val ivf = meanRecall(exact,
+      neighborSets(Similarity.ivfTopK(emb, emb, K, nCells = 16, nProbe = 2)))
+
+    info(f"recall@3 over ${exact.size} queries: LSH $lsh%.3f, multi-probe $multi%.3f, IVF $ivf%.3f")
+    assert(lsh >= 0.6, f"LSH ANN recall too low: $lsh%.3f")
+    assert(multi >= lsh, "multi-probe must not lose recall vs single-probe")
     assert(multi >= 0.95, f"multi-probe recall too low: $multi%.3f")
-    emb.unpersist()
-  }
-
-  test("IVF ANN recall@3 >= 0.8 vs exact brute force on clustered data") {
-    val emb = clustered.cache()
-    val k = 3
-    val exact = Similarity.bruteForceTopK(emb, emb, k)
-      .collect()
-      .groupBy(_.getLong(0))
-      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    val approx = Similarity.ivfTopK(emb, emb, k, nCells = 16, nProbe = 2)
-      .collect()
-      .groupBy(_.getLong(0))
-      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    val recalls = exact.map { case (q, truth) =>
-      approx.get(q).map(a => (a & truth).size.toDouble / truth.size).getOrElse(0.0)
-    }
-    val recall = recalls.sum / recalls.size
-    info(f"IVF recall@3 = $recall%.3f over ${recalls.size} queries")
-    assert(recall >= 0.8, f"IVF ANN recall too low: $recall%.3f")
+    assert(ivf >= 0.8, f"IVF ANN recall too low: $ivf%.3f")
     emb.unpersist()
   }
 

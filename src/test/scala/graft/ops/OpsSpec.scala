@@ -204,12 +204,14 @@ class OpsSpec extends AnyFunSuite {
     import spark.implicits._
     def t(min: Long) = new java.sql.Timestamp(60000L * min)
     val d = Seq(
-      (1L, t(5), 1L, "click", 0.0), // before any purchase -> null
-      (2L, t(10), 1L, "purchase", 7.0),
-      (3L, t(10), 1L, "click", 0.0), // tie: sees the 10-min purchase (>= semantics)
-      (4L, t(20), 1L, "purchase", 9.0),
-      (5L, t(25), 1L, "click", 0.0), // sees 9.0, not 7.0
-      (6L, t(25), 2L, "click", 0.0) // other user -> null
+      (1L, t(5), 1L, "click", Some(0.0)), // before any purchase -> null
+      (2L, t(10), 1L, "purchase", Some(7.0)),
+      (3L, t(10), 1L, "click", Some(0.0)), // tie: sees the 10-min purchase (>= semantics)
+      (4L, t(20), 1L, "purchase", Some(9.0)),
+      (5L, t(25), 1L, "click", Some(0.0)), // sees 9.0, not 7.0
+      (6L, t(25), 2L, "click", Some(0.0)), // other user -> null
+      (7L, t(30), 1L, "purchase", Option.empty[Double]), // NULL-valued purchase
+      (8L, t(35), 1L, "click", Some(0.0)) // sees the t30 ROW -> null value (no fallback to 9.0)
     ).toDF("event_id", "ts", "user_id", "event_type", "value")
     val r = Events.asofJoin(d).collect()
       .map(x => x.getLong(0) -> Option(x.get(3)).map(_.asInstanceOf[Double])).toMap
@@ -217,6 +219,7 @@ class OpsSpec extends AnyFunSuite {
     assert(r(3L).contains(7.0))
     assert(r(5L).contains(9.0))
     assert(r(6L).isEmpty)
+    assert(r(8L).isEmpty, "latest purchase row has NULL value; must not fall back to 9.0")
   }
 
   test("rangeJoin: same-user pairs within the window, ordered, tie-deduped") {

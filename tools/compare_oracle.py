@@ -3,7 +3,7 @@
 
 Runs DuckDB oracle SQL from <outDir>/oracle_sql.json against the sfDir
 parquet tables and compares (column-name-sorted, row-sorted) values with
-the Spark parquet dumps graft.Verify wrote to <outDir>/<name>/.
+the Spark parquet dumps graft.Verify wrote to <outDir>/<name>.parquet/.
 
 Usage: compare_oracle.py <sfDir> <outDir>
 """
