@@ -187,6 +187,12 @@ object SparkEntry {
       Dedup.nearDupClusters(s, rd(s, dir, "documents"))),
     "q27_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDup(rd(s, dir, "documents"), maxHamming = 3)),
+    "q33_pivot_counts" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .groupBy(col("lang"))
+        .pivot(col("source"), Seq("src0", "src1", "src2"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
     "q28_rollup_stats" -> ((s, dir) =>
       rd(s, dir, "documents")
         .rollup(col("lang"), col("source"))
@@ -417,6 +423,12 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+    "q33_pivot_counts" ->
+      """SELECT lang,
+CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS src0,
+CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS src1,
+CAST(sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT) AS src2
+FROM documents GROUP BY 1""",
     "q28_rollup_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
 CAST(sum(n_chars) AS BIGINT) AS total_chars
