@@ -108,9 +108,14 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.values.sum
-    println(
+    val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_docs":$kgDocs,"kg_docs_per_sec":$docsPerSec%.1f,"cpus":$cpus}"""
-    )
+    println(json)
+    // belt-and-braces for the driver: the same JSON at a stable path, in
+    // case the stdout line is decorated or truncated in transit
+    val benchDir = java.nio.file.Paths.get("BENCH")
+    java.nio.file.Files.createDirectories(benchDir)
+    java.nio.file.Files.writeString(benchDir.resolve("last_bench.json"), json + "\n")
     spark.stop()
   }
 }

@@ -59,7 +59,12 @@ object SparkEntry {
     }),
     "kg_feature_rows" -> ((s, _) => {
       val (_, ev) = kgCorpus(s, 200)
-      Pipeline.featureRows(s, ev).toDF().orderBy("sid", "start")
+      // features flattened to the reference's D4 TSV tail
+      // (ml/src/feature_space.py:8-15): tab-joined string, never an
+      // array column — the driver's hasher can't sort array cells.
+      Pipeline.featureRows(s, ev).toDF()
+        .withColumn("features", concat_ws("\t", col("features")))
+        .orderBy("sid", "start")
     }),
     "kg_eval_ner" -> ((s, _) => {
       import s.implicits._

