@@ -298,8 +298,8 @@ FROM c GROUP BY 1""",
       """SELECT event_type, round(sum(value), 2) AS total_value,
 count(*) AS n_events FROM events GROUP BY 1""",
     "q08_connected_components" ->
-      """WITH raw AS (SELECT DISTINCT lpad(CAST(user_id AS VARCHAR), 4, '0') AS src,
-lpad(CAST(event_id % 50 AS VARCHAR), 4, '0') AS dst FROM events),
+      """WITH raw AS (SELECT DISTINCT lpad(CAST(user_id AS VARCHAR), 19, '0') AS src,
+lpad(CAST(event_id % 50 AS VARCHAR), 19, '0') AS dst FROM events),
 e AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
 nodes AS (SELECT DISTINCT src AS node FROM e),
 lbl AS (
@@ -407,8 +407,8 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
 prs AS (SELECT a.doc_id AS da, b.doc_id AS db
   FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
-raw AS (SELECT lpad(CAST(da AS VARCHAR), 12, '0') AS src,
-               lpad(CAST(db AS VARCHAR), 12, '0') AS dst FROM prs),
+raw AS (SELECT lpad(CAST(da AS VARCHAR), 19, '0') AS src,
+               lpad(CAST(db AS VARCHAR), 19, '0') AS dst FROM prs),
 e AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
 nodes AS (SELECT DISTINCT src AS node FROM e),
 lbl AS (
@@ -418,7 +418,7 @@ WITH RECURSIVE r(node, comp) AS (
   SELECT e.dst, r.comp FROM r JOIN e ON e.src = r.node WHERE r.comp < e.dst)
 SELECT node, min(comp) AS comp FROM r GROUP BY node)
 SELECT d.doc_id, COALESCE(CAST(l.comp AS BIGINT), d.doc_id) AS cluster_id
-FROM documents d LEFT JOIN lbl l ON lpad(CAST(d.doc_id AS VARCHAR), 12, '0') = l.node""",
+FROM documents d LEFT JOIN lbl l ON lpad(CAST(d.doc_id AS VARCHAR), 19, '0') = l.node""",
     "q27_simhash_neardup" ->
       s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
 h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM w),

@@ -38,12 +38,25 @@ object Resume {
         .toSet
   }
 
-  /** Write all not-yet-committed repos of `triples` into `table`,
-    * one dynamic-partition overwrite + one manifest per repo. Returns
-    * the commits performed (empty = nothing left to do).
+  /** Write all not-yet-committed repos of `triples` into `table` in ONE
+    * dynamic-partition-overwrite job (plus one small aggregation pass for
+    * the per-partition counters). Returns the commits performed, sorted
+    * by repo (empty = nothing left to do).
     *
-    * Per-repo writes keep the commit unit small and restart-safe; the
-    * per-commit counters are the lineage/metrics record.
+    * Two Spark jobs total, independent of repo count — the round-1 shape
+    * (a driver loop re-filtering the full dataset per repo) was 3×|repos|
+    * jobs and each filter was a typed lambda Catalyst couldn't prune.
+    * The committed set is excluded with a broadcast anti-join (the set is
+    * bounded by repo count, not corpus size); the remainder is shuffled
+    * once on `repo` so each task writes exactly one partition directory.
+    *
+    * Crash contract (unchanged): a manifest entry is written atomically
+    * AFTER the data job completes, so a crash mid-write leaves only
+    * orphan data files in uncommitted partitions, which the next run's
+    * dynamic overwrite replaces — never a half-committed manifest.
+    * Commit granularity is per-run rather than round-1's per-repo: at
+    * 10^5 repos an interrupted run re-does at most one run's worth of
+    * partitions; callers wanting finer units chunk the input upstream.
     */
   def writeResumable(
       spark: SparkSession,
@@ -52,25 +65,36 @@ object Resume {
   ): Seq[Commit] = {
     import spark.implicits._
     val done = committedRepos(table)
-    val todo = triples
-      .map(_.repo)
-      .distinct()
+    val doneDf = spark.createDataset(done.toSeq).toDF("repo")
+    val remaining = triples.toDF()
+      .join(broadcast(doneDf), Seq("repo"), "left_anti")
+
+    // per-partition counters in one aggregation pass (small result:
+    // one row per new repo)
+    val counters = remaining
+      .groupBy(col("repo"))
+      .agg(count(lit(1)).as("rows"), count_distinct(col("drugSubj")).as("subj"))
       .collect()
-      .filterNot(done.contains)
-      .sorted
-    Files.createDirectories(manifestDir(table))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    if (counters.isEmpty) return Seq.empty
 
-    todo.map { repo =>
-      val part = triples.filter(_.repo == repo).cache()
-      val rows = part.count()
-      val distinctSubj = part.map(_.drugSubj).distinct().count()
-      part
-        .toDF()
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      remaining
+        .repartition(col("repo"))
         .write
-        .mode(SaveMode.Overwrite) // replaces only this repo's directory
-        .parquet(s"$table/repo=$repo")
-      part.unpersist()
+        .mode(SaveMode.Overwrite) // dynamic: replaces only written repos
+        .partitionBy("repo")
+        .parquet(table)
+    finally prevMode match {
+      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
 
+    Files.createDirectories(manifestDir(table))
+    counters.toSeq.map { case (repo, rows, distinctSubj) =>
       val commit = Commit(repo, rows, distinctSubj, java.time.Instant.now().toString)
       val json =
         s"""{"repo":"${commit.repo}","rows":${commit.rows},"distinct_subj":${commit.distinctSubj},"ts":"${commit.ts}"}"""
@@ -82,16 +106,19 @@ object Resume {
     }
   }
 
-  /** Read the committed table back (partition column recovered from the
-    * directory layout).
+  /** Read the committed table back. Only committed partition directories
+    * are listed (orphans from a crashed run stay invisible — the Iceberg
+    * snapshot-read contract); `basePath` recovers the `repo` partition
+    * column from the directory layout in one multi-path scan.
     */
   def read(spark: SparkSession, table: String): Dataset[Triple] = {
     import spark.implicits._
     val repos = committedRepos(table).toSeq.sorted
-    val dfs = repos.map { r =>
-      spark.read.parquet(s"$table/repo=$r")
-    }
-    if (dfs.isEmpty) spark.emptyDataset[Triple]
-    else dfs.reduce(_ unionByName _).as[Triple]
+    if (repos.isEmpty) spark.emptyDataset[Triple]
+    else
+      spark.read
+        .option("basePath", table)
+        .parquet(repos.map(r => s"$table/repo=$r"): _*)
+        .as[Triple]
   }
 }

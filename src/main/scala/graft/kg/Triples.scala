@@ -36,24 +36,28 @@ object Triples {
     import spark.implicits._
     val canonB = spark.sparkContext.broadcast(canonical)
 
+    // canonicalization happens inside the same typed flatMap that
+    // flattens entities (broadcast-map lookup, mirroring Pipeline.score's
+    // canonOf) — no UDF in the join/select plan, so everything after
+    // this dataset stays inside whole-stage codegen
     val entText = sents.flatMap { s =>
-      s.entities.map(e => (s.sid, e.entityId, e.text, s.repo))
+      val canon = canonB.value
+      s.entities.map { e =>
+        val lc = e.text.toLowerCase.trim
+        (s.sid, e.entityId, canon.getOrElse(lc, lc), s.repo)
+      }
     }.toDF("sid", "eid", "etext", "repo")
 
     val r = rels.toDF("sid", "e1", "e2", "dtype")
-    val canonUdf = udf { (t: String) =>
-      val lc = t.toLowerCase.trim
-      canonB.value.getOrElse(lc, lc)
-    }
     r.join(
         entText.select($"eid".as("e1"), $"etext".as("t1"), $"repo"),
         Seq("e1")
       )
       .join(entText.select($"eid".as("e2"), $"etext".as("t2")), Seq("e2"))
       .select(
-        canonUdf($"t1").as("drugSubj"),
+        $"t1".as("drugSubj"),
         $"dtype".as("interactionPred"),
-        canonUdf($"t2").as("drugObj"),
+        $"t2".as("drugObj"),
         $"sid",
         $"e1",
         $"e2",

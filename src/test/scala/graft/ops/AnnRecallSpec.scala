@@ -89,4 +89,31 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(b(0L) == b(1L))
     assert(b(0L) != b(2L))
   }
+
+  test("IVF: a zero-norm vector sampled as a centroid does not collapse the index") {
+    import spark.implicits._
+    // small corpus where SOME vec_id hashes into the centroid sample;
+    // force the pathology by making vec_id 0..nCells-1 include a zero
+    // vector (cosine vs everything = null)
+    val emb = ((0L until 40L).map { i =>
+      val v =
+        if (i == 1L) Seq.fill(8)(0.0f) // zero-norm corpus vector
+        else Seq.tabulate(8)(d => math.cos(i * 0.7 + d).toFloat)
+      (i, v)
+    }).toDF("vec_id", "embedding").cache()
+    // nCells = corpus size ⇒ every vector (incl. the zero one) IS a
+    // centroid — the pathology is guaranteed present, not hash-dependent
+    val cents = Similarity.ivfCentroids(emb, 40)
+    assert(cents.exists(_._2.forall(_ == 0f)), "zero vector must be a centroid")
+    val assign = Similarity.ivfAssign(emb, cents).select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val zeroCell = cents.find(_._2.forall(_ == 0f)).get._1
+    // without the coalesce guard, EVERY vector lands in the zero cell
+    val inZero = assign.values.count(_ == zeroCell)
+    assert(inZero <= 1, s"zero-norm centroid captured $inZero/40 vectors — index collapsed")
+    // and top-k over the guarded index still returns k real neighbors
+    val topk = Similarity.ivfTopK(emb, emb.filter($"vec_id" === 0L), 3, nCells = 8, nProbe = 2)
+    assert(topk.count() == 3)
+    emb.unpersist()
+  }
 }

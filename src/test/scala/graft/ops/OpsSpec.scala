@@ -258,4 +258,51 @@ class OpsSpec extends AnyFunSuite {
     assert(f.getString(2) == "5eb63bbbe01eeed093cb22bb8f5acdc3")
     assert(f.getInt(3) == 2 && f.getInt(4) == 120) // 11/4=2, 480/4
   }
+
+  test("embeddingNearDup tiled join: pair set equals the cross-join scan; no BNLJ in plan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // clustered + noise so pairs exist on both sides of the threshold
+    val emb = (0L until 120L).map { i =>
+      val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+      val v =
+        if (i % 3 == 0) Array.fill(16)(1.0f + rnd.nextGaussian().toFloat * 0.4f)
+        else base
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding").cache()
+
+    def pairs(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // independent brute-force twin (the round-1 formulation)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    val brute = a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("e_a"), col("e_b")), 4).as("cos"))
+      .filter(col("cos") >= 0.45)
+
+    for (blocks <- Seq(1, 3, 8)) {
+      val tiled = Dedup.embeddingNearDup(emb, 0.45, blocks)
+      assert(pairs(tiled) == pairs(brute), s"blocks=$blocks pair sets differ")
+    }
+    val plan = Dedup.embeddingNearDup(emb, 0.45).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "tiled near-dup must not cross-join")
+    emb.unpersist()
+  }
+
+  test("nearDupClusters: doc ids wider than 12 digits stay distinct (lpad width)") {
+    // two near-dup docs with 13-digit ids differing only in the last
+    // digit: a 12-char pad would truncate both to the same node and
+    // corrupt the cluster id; width 19 keeps them distinct
+    val big = 1000000000001L
+    val d = docs(
+      (big, "alpha beta gamma delta epsilon zeta"),
+      (big + 1, "alpha beta gamma delta epsilon zeta"),
+      (5L, "totally different words entirely here now"))
+    val out = Dedup.nearDupClusters(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(big) == big && out(big + 1) == big, s"dup pair must cluster to $big: $out")
+    assert(out(5L) == 5L)
+  }
 }

@@ -86,6 +86,30 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L), s"expected exactly one of each id, got ${ids.toSeq}")
   }
 
+  test("dedupStream: a duplicate arriving beyond the watermark delay is re-emitted") {
+    // pins the bounded-state contract: dedup is guaranteed only WITHIN
+    // the watermark delay; after eviction the id is new again. This is
+    // the deliberate tradeoff vs unbounded per-id state (see dedupStream
+    // doc) — if it ever changes, this test should be revisited on purpose.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Event]
+    mem.addData(StreamOps.Event(1, ts(0), 1, "click", 1.0))
+    val q = StreamOps.dedupStream(mem.toDF(), lateSec = 60)
+      .writeStream.format("memory").queryName("dedup_late")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // advance event time far past the 60s delay so id 1's state evicts...
+    mem.addData(StreamOps.Event(2, ts(600), 2, "view", 2.0))
+    q.processAllAvailable()
+    // ...then the same id arrives again, in-watermark relative to now
+    mem.addData(StreamOps.Event(1, ts(601), 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val ones = spark.table("dedup_late").collect().map(_.getLong(0)).count(_ == 1L)
+    assert(ones == 2, s"id 1 should be re-emitted after watermark eviction, got $ones")
+  }
+
   test("sessionizeStream: state closes a session after the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
