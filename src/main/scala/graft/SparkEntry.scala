@@ -84,6 +84,24 @@ object SparkEntry {
       val surfaces = ev.flatMap(x => x.entities.map(_.text))
       graft.kg.Canonicalize.canonicalMap(s, surfaces).orderBy("surface")
     }),
+    // Gold scans (S3/S4), dumped flat so the kg_eval_*/kg_canonical_map
+    // oracles can replay the eval math / alias CC in pure SQL over them
+    // (pred side comes from the kg_mentions / kg_triples dumps).
+    "kg_gold_spans" -> ((s, _) => {
+      import s.implicits._
+      val (_, ev) = kgCorpus(s, 200)
+      ev.flatMap(x => x.entities.map(e => (x.sid, e.rawOffset, e.text, e.etype)))
+        .toDF("sid", "raw_offset", "text", "etype")
+        .orderBy("sid", "raw_offset", "text")
+    }),
+    "kg_gold_pairs" -> ((s, _) => {
+      import s.implicits._
+      val (_, ev) = kgCorpus(s, 200)
+      ev.flatMap(x => x.pairs.filter(_.ddi)
+          .map(p => (x.sid, p.e1, p.e2, p.dtype.getOrElse(""))))
+        .toDF("sid", "e1", "e2", "dtype")
+        .orderBy("sid", "e1", "e2")
+    }),
     "kg_ann_bucketed" -> ((s, dir) => {
       // LSH-bucketed ANN (Spark murmur3 hyperplanes — no DuckDB twin)
       Similarity.bucketedTopK(rd(s, dir, "embeddings"), 3).orderBy("query_id", "rank")
@@ -241,7 +259,85 @@ sigs AS (SELECT doc_id, band,
                       1 + 15 * (band % 2), 15))::BIGINT) AS sig
          FROM b GROUP BY doc_id, band)"""
 
+  /** Reads a dumped frame back in DuckDB (the `__OUT__` placeholder is
+    * substituted with the real dump dir by Verify before the JSON is
+    * written — the oracle SQL the driver sees is fully resolved).
+    */
+  private def dump(name: String): String =
+    s"read_parquet('__OUT__/$name.parquet/*.parquet')"
+
+  /** The reference evaluator's math (ml/evaluator.py:105-127) in SQL:
+    * per-gold-type counters from a (etype, einfo)-keyed full outer join
+    * over deduped instance sets, plus CLASS (einfo|etype key) and NOCLASS
+    * (einfo key) rows; P/R/F1 with the same zero-guards and identical
+    * IEEE double arithmetic as Evaluator.mkRow.
+    */
+  private def evalOracle(goldSel: String, predSel: String): String = {
+    def counters(src: String) =
+      s"""CAST(sum(CASE WHEN ing AND inp THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+CAST(sum(CASE WHEN (NOT ing) AND inp THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+CAST(sum(CASE WHEN ing AND (NOT inp) THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+CAST(sum(CASE WHEN inp THEN 1 ELSE 0 END) AS BIGINT) AS npred,
+CAST(sum(CASE WHEN ing THEN 1 ELSE 0 END) AS BIGINT) AS nexp
+FROM $src"""
+    s"""WITH g AS (SELECT DISTINCT $goldSel),
+p AS (SELECT DISTINCT $predSel),
+j AS (SELECT coalesce(g.etype, p.etype) AS etype,
+  g.einfo IS NOT NULL AS ing, p.einfo IS NOT NULL AS inp
+  FROM g FULL OUTER JOIN p ON g.etype = p.etype AND g.einfo = p.einfo),
+t AS (SELECT etype AS kind, ${counters("j GROUP BY 1 HAVING max(CASE WHEN ing THEN 1 ELSE 0 END) = 1")}),
+cj AS (SELECT cg.k IS NOT NULL AS ing, cp.k IS NOT NULL AS inp
+  FROM (SELECT DISTINCT einfo || '|' || etype AS k FROM g) cg
+  FULL OUTER JOIN (SELECT DISTINCT einfo || '|' || etype AS k FROM p) cp ON cg.k = cp.k),
+c AS (SELECT 'CLASS' AS kind, ${counters("cj")}),
+nj AS (SELECT ng.k IS NOT NULL AS ing, np.k IS NOT NULL AS inp
+  FROM (SELECT DISTINCT einfo AS k FROM g) ng
+  FULL OUTER JOIN (SELECT DISTINCT einfo AS k FROM p) np ON ng.k = np.k),
+n AS (SELECT 'NOCLASS' AS kind, ${counters("nj")}),
+u AS (SELECT * FROM t UNION ALL SELECT * FROM c UNION ALL SELECT * FROM n),
+f AS (SELECT kind, tp, fp, fn, npred, nexp,
+  CASE WHEN npred <> 0 THEN tp / npred ELSE 0 END AS p,
+  CASE WHEN nexp <> 0 THEN tp / nexp ELSE 0 END AS r FROM u)
+SELECT kind, tp, fp, fn, npred, nexp, p, r,
+  CASE WHEN p + r <> 0 THEN 2 * p * r / (p + r) ELSE 0 END AS f1 FROM f"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "kg_eval_ner" -> evalOracle(
+      s"sid || '|' || raw_offset || '|' || text AS einfo, etype FROM ${dump("kg_gold_spans")}",
+      s"""sid || '|' || "start" || '-' || "end" || '|' || text AS einfo, etype FROM ${dump("kg_mentions")}"""),
+    "kg_eval_ddi" -> evalOracle(
+      s"sid || '|' || e1 || '|' || e2 AS einfo, dtype AS etype FROM ${dump("kg_gold_pairs")}",
+      s"sid || '|' || e1 || '|' || e2 AS einfo, interactionPred AS etype FROM ${dump("kg_triples")}"),
+    // Canonicalize.variants + min-label CC replayed in SQL: same string
+    // rewrites (paren strip, squash, hyphen drop, deplural), same
+    // surface<->variant bipartite edges, same canonical = lexicographic
+    // min REAL surface per component.
+    "kg_canonical_map" ->
+      s"""WITH s0 AS (SELECT DISTINCT lower(trim(text)) AS lc FROM ${dump("kg_gold_spans")}),
+v1 AS (SELECT lc, trim(regexp_replace(lc, '\\s*\\([^)]*\\)', '', 'g')) AS noparen FROM s0),
+v2 AS (SELECT lc, CASE WHEN noparen <> '' THEN noparen ELSE lc END AS base FROM v1),
+v3 AS (SELECT lc, base,
+  regexp_replace(trim(regexp_replace(base, '[^a-z0-9]+', ' ', 'g')), '\\s+', ' ', 'g') AS squashed,
+  trim(regexp_replace(replace(base, '-', ''), '\\s+', ' ', 'g')) AS nohyphen FROM v2),
+v4 AS (SELECT lc, base, squashed, nohyphen,
+  CASE WHEN length(squashed) > 3 AND squashed LIKE '%s' AND squashed NOT LIKE '%ss'
+       THEN substr(squashed, 1, length(squashed) - 1) ELSE squashed END AS deplural FROM v3),
+vv AS (SELECT lc, unnest([lc, base, squashed, nohyphen, deplural]) AS v FROM v4),
+raw AS (SELECT lc AS src, 'v:' || v AS dst FROM vv WHERE v <> ''
+        UNION SELECT lc, lc FROM s0),
+e AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+lbl AS (
+WITH RECURSIVE r(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.comp FROM r JOIN e ON e.src = r.node WHERE r.comp < e.dst)
+SELECT node, min(comp) AS comp FROM r GROUP BY node),
+re AS (SELECT node, comp FROM lbl WHERE node NOT LIKE 'v:%'),
+canon AS (SELECT comp, min(node) AS canonical FROM re GROUP BY comp)
+SELECT re.node AS surface, canon.canonical
+FROM re JOIN canon ON re.comp = canon.comp""",
     "q01_agg_pushdown" ->
       """SELECT l_returnflag, l_linestatus,
 round(sum(l_quantity), 2) AS sum_qty,
