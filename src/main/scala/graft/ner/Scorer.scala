@@ -216,11 +216,16 @@ object MentionScorer {
       name: String,
       gaz: => Map[String, String],
       gazMaxN: => Int,
-      mnb: => MnbParams
+      mnb: => MnbParams,
+      crf: => Crf.CrfParams = null
   ): MentionScorer = name.toLowerCase match {
     case "custom" | "all_o"              => AllOScorer
     case "gazetteer" | "gaz"             => new GazetteerScorer(gaz, gazMaxN)
     case "mnb" | "multinomial_nb"        => new MnbScorer(mnb)
+    case "crf" =>
+      val p = crf
+      require(p != null, "crf scorer requested but no CrfParams supplied")
+      new CrfScorer(p)
     case "hybrid" | "gaz+mnb" | "default" =>
       new HybridScorer(new GazetteerScorer(gaz, gazMaxN), new MnbScorer(mnb))
     case other => throw new IllegalArgumentException(s"unknown scorer: $other")

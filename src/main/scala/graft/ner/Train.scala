@@ -133,6 +133,25 @@ object Train {
     (gaz, maxN)
   }
 
+  /** CRF fit (reference A6): collect the training token stream in
+    * deterministic (sid, start) order — bounded by the TRAINING corpus,
+    * never the scoring corpus — and run the driver-side l2sgd fit with
+    * the reference's 100-token pseudo-sequence chunking (CRF.py:28-29).
+    */
+  def fitCrf(
+      spark: SparkSession,
+      rows: Dataset[FeatureRow],
+      c2: Double = 0.1,
+      epochs: Int = 30
+  ): Crf.CrfParams = {
+    val stream = rows
+      .orderBy(col("sid"), col("start"))
+      .collect()
+      .map(r => (r.features, r.tag))
+      .toSeq
+    Crf.fitTokenStream(stream, c2, epochs)
+  }
+
   /** Gold spans -> reference-tag oracle (used for round-trip parity and
     * as the training-label producer).
     */

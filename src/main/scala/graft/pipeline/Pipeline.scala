@@ -166,7 +166,8 @@ object Pipeline {
     import spark.implicits._
     val (gaz, gazN) = Train.buildGazetteer(spark, train)
     lazy val nerParams = Train.fitMnb(spark, featureRows(spark, train), mnbMinFreq)
-    val scorer = MentionScorer.resolve(scorerName, gaz, gazN, nerParams)
+    lazy val crfParams = Train.fitCrf(spark, featureRows(spark, train))
+    val scorer = MentionScorer.resolve(scorerName, gaz, gazN, nerParams, crfParams)
     val ddiParams = Relations.fit(spark, train, mnbMinFreq)
     val canon = Canonicalize
       .canonicalMap(spark, train.flatMap(s => s.entities.map(_.text)))

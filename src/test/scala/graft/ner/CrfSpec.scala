@@ -1,0 +1,74 @@
+package graft.ner
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates for the linear-chain CRF (reference A6, ml/src/models/CRF.py):
+  * transition learning (the capability MNB lacks), the 100-token
+  * pseudo-sequence chunking quirk, and decode determinism.
+  */
+class CrfSpec extends AnyFunSuite {
+
+  private def seq(pairs: (String, String)*) =
+    (pairs.map(p => Seq("f=" + p._1): Seq[String]).toIndexedSeq,
+      pairs.map(_._2).toIndexedSeq)
+
+  test("transitions disambiguate a state-ambiguous token (what MNB cannot do)") {
+    // token 'b' has IDENTICAL state features in both contexts; only the
+    // previous label decides: after B-drug it is I-drug, after O it is O
+    val train = IndexedSeq(
+      seq("a" -> "B-drug", "b" -> "I-drug"),
+      seq("c" -> "O", "b" -> "O"),
+      seq("a" -> "B-drug", "b" -> "I-drug"),
+      seq("c" -> "O", "b" -> "O")
+    )
+    val params = Crf.fit(train, c2 = 0.1, epochs = 50)
+    assert(Crf.viterbi(params, IndexedSeq(Seq("f=a"), Seq("f=b"))) ==
+      IndexedSeq("B-drug", "I-drug"))
+    assert(Crf.viterbi(params, IndexedSeq(Seq("f=c"), Seq("f=b"))) ==
+      IndexedSeq("O", "O"))
+  }
+
+  test("fitTokenStream chunks the flat stream into 100-token pseudo-sequences") {
+    // 250 tokens -> chunks of 100/100/50 (CRF.py:28-29 batched(xseq, 100));
+    // verified through the learned transition: 'y' ALWAYS follows 'x' in
+    // the stream, so if chunking preserved the stream order the model
+    // tags ...x y... correctly even though 'y' alone is ambiguous
+    val stream = (0 until 125).flatMap { _ =>
+      Seq((Seq("f=x"): Seq[String]) -> "B-drug", (Seq("f=y"): Seq[String]) -> "I-drug")
+    }
+    val params = Crf.fitTokenStream(stream, epochs = 20)
+    val out = Crf.viterbi(params, IndexedSeq(Seq("f=x"), Seq("f=y")))
+    assert(out == IndexedSeq("B-drug", "I-drug"))
+  }
+
+  test("viterbi: unseen features are ignored; empty sentence yields empty tags") {
+    val params = Crf.fit(IndexedSeq(seq("a" -> "B-drug", "b" -> "I-drug")), epochs = 10)
+    val out = Crf.viterbi(params, IndexedSeq(Seq("f=a", "f=NEVER_SEEN"), Seq("f=b")))
+    assert(out == IndexedSeq("B-drug", "I-drug"))
+    assert(Crf.viterbi(params, IndexedSeq.empty).isEmpty)
+  }
+
+  test("CrfScorer resolves via the registry and tags a real tokenized sentence") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val sents = spark.createDataset(Seq(
+      graft.core.ParsedSentence("r", "d", "s0", "Warfarin interacts with aspirin.",
+        Seq(
+          graft.core.GoldSpan("e0", 0, 7, "drug", "Warfarin", "0-7"),
+          graft.core.GoldSpan("e1", 24, 30, "drug", "aspirin", "24-30")),
+        Nil),
+      graft.core.ParsedSentence("r", "d", "s1", "Warfarin interacts with aspirin.",
+        Seq(
+          graft.core.GoldSpan("e0", 0, 7, "drug", "Warfarin", "0-7"),
+          graft.core.GoldSpan("e1", 24, 30, "drug", "aspirin", "24-30")),
+        Nil)
+    ))
+    val params = Train.fitCrf(spark, graft.pipeline.Pipeline.featureRows(spark, sents), epochs = 40)
+    val scorer = MentionScorer.resolve("crf", Map.empty, 1, null, params)
+    val toks = graft.core.Tokenize.tokenize("Warfarin interacts with aspirin.")
+    val tags = scorer.tagSentence(toks)
+    assert(tags(toks.indexWhere(_.form == "Warfarin")) == "B-drug")
+    assert(tags(toks.indexWhere(_.form == "aspirin")) == "B-drug")
+    assert(tags(toks.indexWhere(_.form == "interacts")) == "O")
+  }
+}
