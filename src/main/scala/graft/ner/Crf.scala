@@ -237,6 +237,12 @@ object Crf {
 
 /** Token tagger backed by broadcast CRF parameters: per-sentence Viterbi
   * over the same W1 window features the other scorers use.
+  *
+  * Ablation tried and NOT adopted (DebugCrf, reference corpus): merging
+  * the gazetteer over the CRF HybridScorer-style trades P for R — devel
+  * typed F1 drops 79.0 → 78.0 (test ties at 79.6). The CRF already
+  * memorizes training surfaces via its `form=` state features, so the
+  * gazetteer only adds its false positives. Don't retry.
   */
 final class CrfScorer(params: Crf.CrfParams) extends MentionScorer {
   def tagSentence(toks: IndexedSeq[graft.core.Tok]): IndexedSeq[String] =

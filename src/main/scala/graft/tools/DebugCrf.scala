@@ -30,11 +30,17 @@ object DebugCrf {
     val devel = load("/root/reference/data/devel")
     val test = load("/root/reference/data/test")
 
+    val (gazMap, gazN) = Train.buildGazetteer(spark, train)
     for (epochs <- args.headOption.map(e => Seq(e.toInt)).getOrElse(Seq(10, 30))) {
       val t0 = System.nanoTime()
       val params = Train.fitCrf(spark, Pipeline.featureRows(spark, train), epochs = epochs)
       val fitSec = (System.nanoTime() - t0) / 1e9
-      val b = spark.sparkContext.broadcast(new CrfScorer(params): MentionScorer)
+      val crf: MentionScorer = new CrfScorer(params)
+      for (withGaz <- Seq(false, true)) {
+      val scorer: MentionScorer =
+        if (!withGaz) crf
+        else new MergeScorer(new GazetteerScorer(gazMap, gazN), crf)
+      val b = spark.sparkContext.broadcast(scorer)
       def f1On(ds: org.apache.spark.sql.Dataset[graft.core.ParsedSentence]) = {
         val ms = Pipeline.mentions(spark, Pipeline.analyze(spark, ds, b))
         val rows = Evaluator.evalRows(spark, Pipeline.goldNer(spark, ds), Pipeline.predNer(spark, ms))
@@ -44,8 +50,35 @@ object DebugCrf {
       }
       val (dp, dr, df, dn) = f1On(devel)
       val (xp, xr, xf, xn) = f1On(test)
-      println(f"crf epochs=$epochs fit=${fitSec}%.1fs devel P=$dp%.3f R=$dr%.3f F1=$df%.3f (untyped $dn%.3f) | test P=$xp%.3f R=$xr%.3f F1=$xf%.3f (untyped $xn%.3f)")
+      val tag = if (withGaz) "gaz+crf" else "crf"
+      println(f"$tag epochs=$epochs fit=${fitSec}%.1fs devel P=$dp%.3f R=$dr%.3f F1=$df%.3f (untyped $dn%.3f) | test P=$xp%.3f R=$xr%.3f F1=$xf%.3f (untyped $xn%.3f)")
+      }
     }
     spark.stop()
+  }
+}
+
+/** Experimental merge: gazetteer authoritative where it fires, the other
+  * scorer elsewhere with the same B/I-structure repair HybridScorer uses.
+  */
+final class MergeScorer(gaz: GazetteerScorer, other: MentionScorer) extends MentionScorer {
+  def tagSentence(toks: IndexedSeq[graft.core.Tok]): IndexedSeq[String] = {
+    val g = gaz.tagSentence(toks)
+    val m = other.tagSentence(toks)
+    val out = new Array[String](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      out(i) =
+        if (g(i) != "O") g(i)
+        else {
+          val mi = m(i)
+          if (mi.startsWith("B-")) mi
+          else if (mi.startsWith("I-") && i > 0 &&
+            (out(i - 1) == "B-" + mi.drop(2) || out(i - 1) == "I-" + mi.drop(2))) mi
+          else "O"
+        }
+      i += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 }

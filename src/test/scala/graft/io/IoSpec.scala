@@ -71,6 +71,23 @@ class IoSpec extends AnyFunSuite {
     assert(back.map(_.repo).distinct().collect().sorted.toSeq == Seq("repo-a", "repo-b", "repo-c"))
   }
 
+  test("resume: orphan partition data without a manifest stays invisible, then heals") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("kg").toString + "/triples"
+    def trips(repos: String*) = spark.createDataset(
+      repos.flatMap(r => (1 to 5).map(i => Triple(s"drug$i", "int", "obj", s"$r.s$i", "e1", "e2", r)))
+    )
+    Resume.writeResumable(spark, trips("repo-a"), table)
+    // simulate a crash mid-write of repo-b: partition dir exists, no manifest
+    trips("repo-b").toDF().drop("repo").write.parquet(s"$table/repo=repo-b")
+    assert(Resume.read(spark, table).map(_.repo).distinct().collect().toSeq == Seq("repo-a"),
+      "uncommitted orphan partition must be invisible to readers")
+    // the next resumable run overwrites the orphan and commits it
+    val c = Resume.writeResumable(spark, trips("repo-a", "repo-b"), table)
+    assert(c.map(_.repo) == Seq("repo-b") && c.head.rows == 5)
+    assert(Resume.read(spark, table).count() == 10)
+  }
+
   test("codemaps: sorted deterministic ids, PAD=0/UNK=1, idx round-trip") {
     import spark.implicits._
     val sents = spark.createDataset(Seq(
