@@ -42,80 +42,51 @@ object Evaluator {
       pred: Dataset[(String, String)]
   ): Seq[EvalRow] = {
     import spark.implicits._
-    val g = gold.toDF("einfo", "etype").dropDuplicates("einfo", "etype").cache()
-    val p = pred.toDF("einfo", "etype").dropDuplicates("einfo", "etype").cache()
-
-    // per-type: set membership on einfo within etype
-    val perType = g
-      .select($"etype", $"einfo", lit(1).as("g"))
-      .join(
-        p.select($"etype", $"einfo", lit(1).as("p")),
-        Seq("etype", "einfo"),
-        "full_outer"
-      )
-      .groupBy($"etype")
+    // ONE pass over both instance streams: each instance contributes its
+    // three set keys — per-type ("t|"+etype, einfo), CLASS ("c|",
+    // einfo|etype), NOCLASS ("n|", einfo) — and max() per (kind, key)
+    // collapses duplicates, which IS the reference's set semantics (A7,
+    // ml/evaluator.py:12-16; the full-line pred dedup at :88-90 is the
+    // (einfo, etype) granularity these keys preserve). Two chained hash
+    // aggregations, one job — instead of the previous three full-outer
+    // joins, each rescanning both inputs.
+    val insts = gold.toDF("einfo", "etype")
+      .select($"einfo", $"etype", lit(1).as("isG"), lit(0).as("isP"))
+      .unionAll(pred.toDF("einfo", "etype")
+        .select($"einfo", $"etype", lit(0).as("isG"), lit(1).as("isP")))
+    val counters = insts
+      .select(
+        explode(array(
+          struct(concat(lit("t|"), $"etype").as("kind"), $"einfo".as("k")),
+          struct(lit("c|").as("kind"), concat_ws("|", $"einfo", $"etype").as("k")),
+          struct(lit("n|").as("kind"), $"einfo".as("k")))).as("x"),
+        $"isG", $"isP")
+      .groupBy($"x.kind".as("kind"), $"x.k".as("k"))
+      .agg(max($"isG").as("g"), max($"isP").as("p"))
+      .groupBy($"kind")
       .agg(
-        sum(when($"g".isNotNull && $"p".isNotNull, 1L).otherwise(0L)).as("tp"),
-        sum(when($"g".isNull && $"p".isNotNull, 1L).otherwise(0L)).as("fp"),
-        sum(when($"g".isNotNull && $"p".isNull, 1L).otherwise(0L)).as("fn"),
-        sum(when($"p".isNotNull, 1L).otherwise(0L)).as("npred"),
-        sum(when($"g".isNotNull, 1L).otherwise(0L)).as("nexp"),
-        max(when($"g".isNotNull, 1).otherwise(0)).as("inGold")
-      )
+        sum(when($"g" === 1 && $"p" === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when($"g" === 0 && $"p" === 1, 1L).otherwise(0L)).as("fp"),
+        sum(when($"g" === 1 && $"p" === 0, 1L).otherwise(0L)).as("fn"),
+        sum($"p").cast("long").as("npred"),
+        sum($"g").cast("long").as("nexp"))
       .collect()
 
-    val goldTypes = perType.filter(_.getAs[Int]("inGold") == 1)
-    // a type in gold whose einfo-set overlaps pred under a DIFFERENT type:
-    // the outer join above is keyed (etype, einfo), so per-type rows are
-    // already the reference's per-type set intersections.
-    val typeRows = goldTypes.map { r =>
-      mkRow(
-        r.getAs[String]("etype"),
-        r.getAs[Long]("tp"),
-        r.getAs[Long]("fp"),
-        r.getAs[Long]("fn"),
-        r.getAs[Long]("npred"),
-        r.getAs[Long]("nexp")
-      )
-    }
-    // ...except fp/npred for a gold type must count pred instances of that
-    // type even when gold has the einfo under another type — the join
-    // keyed on (etype, einfo) already does exactly that. But pred-only
-    // types with zero gold rows need folding into nothing (skipped), and
-    // a gold type absent from pred yields npred=0 — also already correct.
-
-    val classRow = setStats(
-      "CLASS",
-      g.select(concat_ws("|", $"einfo", $"etype").as("k")),
-      p.select(concat_ws("|", $"einfo", $"etype").as("k"))
-    )
-    val noclassRow = setStats(
-      "NOCLASS",
-      g.select($"einfo".as("k")).dropDuplicates(),
-      p.select($"einfo".as("k")).dropDuplicates()
-    )
-    g.unpersist(); p.unpersist()
-    (typeRows.toSeq :+ classRow) :+ noclassRow
-  }
-
-  private def setStats(
-      kind: String,
-      gold: org.apache.spark.sql.DataFrame,
-      pred: org.apache.spark.sql.DataFrame
-  ): EvalRow = {
-    val j = gold
-      .select(col("k"), lit(1).as("g"))
-      .join(pred.select(col("k"), lit(1).as("p")), Seq("k"), "full_outer")
-      .agg(
-        sum(when(col("g").isNotNull && col("p").isNotNull, 1L).otherwise(0L)),
-        sum(when(col("g").isNull && col("p").isNotNull, 1L).otherwise(0L)),
-        sum(when(col("g").isNotNull && col("p").isNull, 1L).otherwise(0L)),
-        sum(when(col("p").isNotNull, 1L).otherwise(0L)),
-        sum(when(col("g").isNotNull, 1L).otherwise(0L))
-      )
-      .head()
-    def l(i: Int): Long = if (j.isNullAt(i)) 0L else j.getLong(i)
-    mkRow(kind, l(0), l(1), l(2), l(3), l(4))
+    def row(r: org.apache.spark.sql.Row, kind: String) = mkRow(kind,
+      r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"),
+      r.getAs[Long]("npred"), r.getAs[Long]("nexp"))
+    // per-type rows exist only for types present in GOLD (nexp > 0) —
+    // predicted-only types contribute fp to CLASS/NOCLASS but are never
+    // scored per-type, exactly the reference's behavior
+    val typeRows = counters
+      .filter(r => r.getString(0).startsWith("t|") && r.getAs[Long]("nexp") > 0)
+      .sortBy(_.getString(0))
+      .map(r => row(r, r.getString(0).drop(2)))
+    def kindRow(key: String, name: String) = counters
+      .find(_.getString(0) == key)
+      .map(row(_, name))
+      .getOrElse(mkRow(name, 0, 0, 0, 0, 0))
+    (typeRows.toSeq :+ kindRow("c|", "CLASS")) :+ kindRow("n|", "NOCLASS")
   }
 
   /** Local (driver/test-side) evaluation over in-memory sets — same
