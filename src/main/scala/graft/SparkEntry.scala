@@ -197,6 +197,8 @@ object SparkEntry {
     "q20_multimodal_stub" -> ((s, dir) => Multimodal.features(s, rd(s, dir, "documents"))),
 
     "q23_token_bpe" -> ((s, dir) => TextOps.bpeTokenCount(rd(s, dir, "documents"))),
+    "q34_token_rarity" -> ((s, dir) => TextOps.tokenRarity(rd(s, dir, "documents"))),
+    "q35_boilerplate" -> ((s, dir) => TextOps.boilerplateShingles(rd(s, dir, "documents"))),
 
     // -------- sampling + dedup clustering --------------------------------
     "q24_deterministic_sample" -> ((s, dir) =>
@@ -491,6 +493,21 @@ WHERE rank <= 3""",
 CAST(len(regexp_extract_all(text, '''(s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS INT) AS n_bpe_tokens,
 CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens
 FROM documents""",
+    "q34_token_rarity" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+c AS (SELECT tok, count(*) AS c FROM t GROUP BY 1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+round(sum(c.c) / count(*), 4) AS avg_tok_count,
+round(sum(CASE WHEN c.c <= 2 THEN 1 ELSE 0 END) / count(*), 4) AS rare_ratio
+FROM t JOIN c USING (tok) GROUP BY 1""",
+    "q35_boilerplate" ->
+      s"""WITH $shingleCte,
+x AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+d AS (SELECT shingle, count(*) AS df FROM x GROUP BY 1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+round(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) / count(*), 4) AS boiler_ratio
+FROM x JOIN d USING (shingle) GROUP BY 1""",
     "q24_deterministic_sample" ->
       """SELECT doc_id, n_chars FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 20""",

@@ -133,4 +133,59 @@ object TextOps {
       .reduce(_ + _)
     voted.select(col("doc_id"), sig.as("simhash"))
   }
+
+  /** Rare-token profile per document: the corpus-frequency view of a
+    * document's vocabulary — the integer-exact stand-in for unigram-LM
+    * perplexity filtering (the standard training-data quality gate).
+    * `rare_ratio` = fraction of token occurrences whose corpus count is
+    * <= `rareMax` (high → gibberish / OCR noise / hapax-heavy),
+    * `avg_tok_count` = mean corpus frequency (high → boilerplate-ish).
+    * All arithmetic is integer counts + one exact division — no libm
+    * log whose last-ulp could differ between engines.
+    *
+    * Scale posture: token counts are one map-side-combinable
+    * aggregation (vocabulary-sized result); the count join back to the
+    * token stream is keyed on `tok`; the per-doc rollup is keyed on
+    * `doc_id`. Three keyed shuffles, no broadcast of corpus-sized data.
+    */
+  def tokenRarity(docs: DataFrame, rareMax: Long = 2): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    toks
+      .join(counts, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(sum(col("c")).cast("double") / count(lit(1)), 4).as("avg_tok_count"),
+        round(
+          sum(when(col("c") <= rareMax, 1L).otherwise(0L)).cast("double") / count(lit(1)),
+          4).as("rare_ratio")
+      )
+  }
+
+  /** Boilerplate n-gram detection: shingles appearing in >= `minDocs`
+    * DISTINCT documents are "boilerplate" (shared headers, templates,
+    * licence blocks); per document, the fraction of its distinct
+    * shingles that are boilerplate is the removal signal — the
+    * aggregate-level cousin of the line-based boilerplate scrubbers in
+    * web-corpus pipelines. Documents shorter than `k` tokens have no
+    * shingles and produce no row (same in the oracle).
+    *
+    * Scale posture: document frequency is one map-side-combinable
+    * aggregation over (shingle) — shingleRows already emits each
+    * shingle once per doc; the df join back is keyed on `shingle`.
+    */
+  def boilerplateShingles(docs: DataFrame, k: Int = 3, minDocs: Long = 3): DataFrame = {
+    val sh = Dedup.shingleRows(docs, k)
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDocs, 1L).otherwise(0L)).as("n_boiler"),
+        round(
+          sum(when(col("df") >= minDocs, 1L).otherwise(0L)).cast("double") / count(lit(1)),
+          4).as("boiler_ratio")
+      )
+  }
 }

@@ -259,6 +259,26 @@ class OpsSpec extends AnyFunSuite {
     assert(f.getInt(3) == 2 && f.getInt(4) == 120) // 11/4=2, 480/4
   }
 
+  test("tokenRarity: corpus-frequency profile, exact rational arithmetic") {
+    val d = docs((1L, "a a b"), (2L, "a c"))
+    // corpus counts: a=3, b=1, c=1
+    val out = TextOps.tokenRarity(d, rareMax = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((3L, 2.3333, 0.3333))) // (3+3+1)/3, rare: b
+    assert(out(2L) == ((2L, 2.0, 0.5)))       // (3+1)/2,   rare: c
+  }
+
+  test("boilerplate shingles: cross-document template n-grams flagged") {
+    val d = docs(
+      (1L, "x y z a"), (2L, "x y z b"), (3L, "x y z c"), // share "x y z"
+      (4L, "uu vv"))                                     // too short: no row
+    val out = TextOps.boilerplateShingles(d, k = 3, minDocs = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((2L, 1L, 0.5))) // shingles: "x y z"(df 3), "y z a"(df 1)
+    assert(out(2L) == ((2L, 1L, 0.5)))
+  }
+
   test("embeddingNearDup tiled join: pair set equals the cross-join scan; no BNLJ in plan") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
