@@ -69,6 +69,21 @@ object StreamOps {
       .withWatermark("ts", s"$lateSec seconds")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming near-duplicate suppression on document content: the
+    * row-local simhash (TextOps.simhashExpr — no shuffle, no aggregation
+    * state, so it composes with any streaming sink) keyed into a
+    * watermark-bounded dedup. Fingerprint-identical documents arriving
+    * within the delay are dropped; hamming>0 near-dups pass — this is
+    * the cheap in-flight guard, the full near-dup sweep stays the batch
+    * pass (Dedup.simhashNearDup / nearDupClusters) over the sink table.
+    * Input needs `text` and an event-time `ts` column.
+    */
+  def nearDupStream(docs: DataFrame, lateSec: Int = 600, bits: Int = 60): DataFrame =
+    docs
+      .withColumn("simhash", graft.ops.TextOps.simhashExpr(col("text"), bits))
+      .withWatermark("ts", s"$lateSec seconds")
+      .dropDuplicatesWithinWatermark("simhash")
+
   /** Gap-based streaming sessionization with per-user state. A session
     * closes when no event arrives within `gapSec` of the last one
     * (event time, enforced via watermark + state timeout).

@@ -141,4 +141,46 @@ class PropertySpec extends AnyFunSuite {
       true
     })
   }
+
+  test("property: CRF Viterbi equals exhaustive argmax on small chains") {
+    import graft.ner.Crf
+    // random tiny training sets -> random fitted weights; then Viterbi
+    // must equal brute-force enumeration of ALL label paths scored with
+    // the same state+transition weights (ties: enumeration order mirrors
+    // Viterbi's lower-index-wins)
+    val feat: Gen[String] = Gen.oneOf("a", "b", "c", "d").map("f=" + _)
+    val tokGen: Gen[(Seq[String], String)] = for {
+      nf <- Gen.choose(1, 2)
+      fs <- Gen.listOfN(nf, feat)
+      y <- Gen.oneOf("O", "B-drug", "I-drug")
+    } yield (fs.distinct: Seq[String], y)
+    val gen = for {
+      trainLen <- Gen.choose(2, 12)
+      train <- Gen.listOfN(trainLen, tokGen)
+      testLen <- Gen.choose(1, 4)
+      test <- Gen.listOfN(testLen, Gen.choose(1, 2).flatMap(Gen.listOfN(_, feat)))
+    } yield (train, test.map(_.distinct: Seq[String]))
+
+    check(Prop.forAll(gen) { case (train, test) =>
+      val params = Crf.fitTokenStream(train, epochs = 3, chunk = 5)
+      val n = params.labels.length
+      def score(path: List[Int]): Double =
+        path.zipWithIndex.map { case (l, i) =>
+          val st = test(i).map(f => params.state.get(f).map(_(l)).getOrElse(0.0)).sum
+          val tr = if (i > 0) params.trans(path(i - 1))(l) else 0.0
+          st + tr
+        }.sum
+      val paths = List.fill(test.length)(0 until n).foldRight(List(List.empty[Int])) {
+        (ls, acc) => ls.toList.flatMap(l => acc.map(l :: _))
+      }
+      // optimality, tie-agnostic: the Viterbi path's score (re-computed
+      // with the same enumeration arithmetic) must equal the best over
+      // ALL paths — ties between distinct optimal paths are legitimate
+      // (e.g. features unseen in training score 0 for every label)
+      val bestScore = paths.map(score).max
+      val labIdx = params.labels.zipWithIndex.toMap
+      val vPath = Crf.viterbi(params, test.toIndexedSeq).map(labIdx).toList
+      math.abs(score(vPath) - bestScore) <= 1e-9
+    })
+  }
 }

@@ -259,6 +259,21 @@ class OpsSpec extends AnyFunSuite {
     assert(f.getInt(3) == 2 && f.getInt(4) == 120) // 11/4=2, 480/4
   }
 
+  test("simhashExpr (row-local, shuffle-free) is bit-identical to the groupBy simhash") {
+    import spark.implicits._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (bits <- Seq(16, 60)) {
+      val agg = TextOps.simhash(d, bits).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val local = d.select($"doc_id", TextOps.simhashExpr($"text", bits).as("simhash"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == agg, s"bits=$bits fingerprints differ")
+    }
+    // and the row-local plan has no shuffle
+    val plan = d.select(TextOps.simhashExpr($"text")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "row-local simhash must not shuffle")
+  }
+
   test("tokenRarity: corpus-frequency profile, exact rational arithmetic") {
     val d = docs((1L, "a a b"), (2L, "a c"))
     // corpus counts: a=3, b=1, c=1

@@ -110,6 +110,24 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(ones == 2, s"id 1 should be re-emitted after watermark eviction, got $ones")
   }
 
+  test("nearDupStream: fingerprint-identical docs within the watermark are suppressed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    mem.addData(
+      (1L, "the quick brown fox jumps", ts(0)),
+      (2L, "the quick brown fox jumps", ts(1)), // identical content, different id
+      (3L, "a completely different document body", ts(1)))
+    val q = StreamOps.nearDupStream(mem.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("neardup_stream").select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.length == 2 && ids.contains(3L),
+      s"one of the identical twins must be dropped, got ${ids.toSeq}")
+  }
+
   test("sessionizeStream: state closes a session after the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
