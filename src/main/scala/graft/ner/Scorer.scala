@@ -66,6 +66,50 @@ final case class MnbParams(
     s
   }
 
+  private def addFeat(s: Array[Double], key: String): Unit =
+    featLogProb.get(key) match {
+      case Some(lp) =>
+        var i = 0
+        while (i < s.length) { s(i) += lp(i); i += 1 }
+      case None => // out-of-vocab: dropped by DictVectorizer.transform
+    }
+
+  /** Hot-path twin of [[scores]] over the RAW W1 feature strings: the
+    * training vocabulary keys are exactly the raw `k=v` strings, and
+    * extractFeatures never emits two features with the same dict key,
+    * so the toDict split + re-concat round-trip (two allocations per
+    * feature per token) is pure overhead — only the BoS/EoS expansion
+    * (toDict's other job) is kept. Spec-gated equal to the dict path
+    * (MnbSpec).
+    */
+  def scoresRaw(feats: Seq[String]): Array[Double] = {
+    val n = classes.length
+    val s = new Array[Double](n)
+    System.arraycopy(logPrior, 0, s, 0, n)
+    feats.foreach {
+      case "BoS" => addFeat(s, "formPrev=BoS"); addFeat(s, "suf3Prev=BoS")
+      case "EoS" => addFeat(s, "formNext=EoS"); addFeat(s, "suf3Next=EoS")
+      case f     => addFeat(s, f)
+    }
+    s
+  }
+
+  /** Raw-feature twin of [[predictWithMargin]] (same argmax + margin
+    * logic over [[scoresRaw]]).
+    */
+  def predictWithMarginRaw(feats: Seq[String], reject: String, margin: Double): String = {
+    val s = scoresRaw(feats)
+    val rejIdx = classes.indexOf(reject)
+    if (rejIdx < 0) return predict(Features.toDict(feats))
+    var best = -1
+    var i = 0
+    while (i < s.length) {
+      if (i != rejIdx && (best < 0 || s(i) > s(best))) best = i
+      i += 1
+    }
+    if (best >= 0 && s(best) - s(rejIdx) > margin) classes(best) else reject
+  }
+
   def predict(dictFeats: Seq[(String, String)]): String = {
     val s = scores(dictFeats)
     var best = 0
@@ -102,12 +146,19 @@ final class MnbScorer(params: MnbParams) extends MentionScorer {
     Features.extractFeatures(toks).map(f => params.predict(Features.toDict(f)))
 
   /** Margin-gated tags: a non-O tag is kept only when its log-odds over
-    * "O" exceed `margin` (precision gate for the hybrid merge).
+    * "O" exceed `margin` (precision gate for the hybrid merge). Hot
+    * path: raw-feature scoring, no dict materialization.
     */
   def tagSentenceMargin(toks: IndexedSeq[Tok], margin: Double): IndexedSeq[String] =
     Features.extractFeatures(toks).map { f =>
-      params.predictWithMargin(Features.toDict(f), "O", margin)
+      params.predictWithMarginRaw(f, "O", margin)
     }
+
+  /** Margin-gated tag for ONE position given pre-extracted features —
+    * lets HybridScorer skip MNB entirely on gazetteer-claimed positions.
+    */
+  def tagAtMargin(feats: Seq[String], margin: Double): String =
+    params.predictWithMarginRaw(feats, "O", margin)
 }
 
 /** Greedy longest-match gazetteer tagger (SURVEY J3).
@@ -181,14 +232,18 @@ final class HybridScorer(
   def tagSentence(toks: IndexedSeq[Tok]): IndexedSeq[String] = {
     val g = gaz.tagSentence(toks)
     if (mnbMargin.isPosInfinity) return g
-    val m = mnb.tagSentenceMargin(toks, mnbMargin)
+    // MNB is consulted ONLY where the gazetteer said O (its tags are
+    // authoritative elsewhere), so gazetteer-claimed positions skip the
+    // feature scoring entirely — all-O sentences still pay extraction
+    // once (window features are sentence-local)
+    lazy val feats = Features.extractFeatures(toks)
     val out = new Array[String](toks.length)
     var i = 0
     while (i < toks.length) {
       out(i) =
         if (g(i) != "O") g(i)
         else {
-          val mi = m(i)
+          val mi = mnb.tagAtMargin(feats(i), mnbMargin)
           if (mi.startsWith("B-")) mi
           else if (mi.startsWith("I-") && i > 0 &&
             (out(i - 1) == "B-" + mi.drop(2) || out(i - 1) == "I-" + mi.drop(2))) mi

@@ -66,4 +66,32 @@ class MnbSpec extends AnyFunSuite {
     assert(p.featLogProb.contains("a=1"))
     assert(!p.featLogProb.contains("rare=1"))
   }
+
+  test("raw-feature hot path equals the dict path on real W1 features") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // fit on actual W1 window features so the vocabulary has the real
+    // key shapes (form=, suf3=, BoS/EoS expansions)
+    val sents = Seq(
+      "Warfarin interacts with aspirin .",
+      "Take aspirin with caution .",
+      "Beta-blockers reduce effects .")
+    val rows = sents.zipWithIndex.flatMap { case (txt, si) =>
+      val toks = graft.core.Tokenize.tokenize(txt)
+      val fs = Features.extractFeatures(toks)
+      toks.indices.map(i => (Features.toDict(fs(i)).map { case (k, v) => k + "=" + v },
+        if (i % 3 == 0) "B-drug" else "O"))
+    }
+    val p = Train.fitMnbRaw(spark, spark.createDataset(rows))
+    sents.foreach { txt =>
+      val toks = graft.core.Tokenize.tokenize(txt + " plus unseen junk")
+      Features.extractFeatures(toks).foreach { f =>
+        assert(p.scoresRaw(f).toSeq == p.scores(Features.toDict(f)).toSeq,
+          s"scoresRaw != scores for $f")
+        for (m <- Seq(0.0, 2.0, 4.0))
+          assert(p.predictWithMarginRaw(f, "O", m) ==
+            p.predictWithMargin(Features.toDict(f), "O", m))
+      }
+    }
+  }
 }
