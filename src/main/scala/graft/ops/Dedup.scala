@@ -123,9 +123,16 @@ object Dedup {
     * bucket key only.
     */
   def lshCandidates(docs: DataFrame, bands: Int = 8, k: Int = 3, fast: Boolean = false): DataFrame = {
+    // materialize signatures ONCE for the self-join: without this the
+    // whole scan → shingle → hash → aggregate pipeline is planned twice
+    // (one subtree per join side — confirmed in the physical plan; AQE
+    // cannot ReuseExchange across the differing aliases). cache() is the
+    // in-API form of what a 10^12-row pipeline does anyway: persist the
+    // signature table, then join it against itself. MEMORY_AND_DISK by
+    // default, and the frame is bands-per-doc small.
     val sig =
-      if (fast) minhashSignaturesFast(docs, bands, k)
-      else minhashSignatures(docs, bands, k)
+      (if (fast) minhashSignaturesFast(docs, bands, k)
+       else minhashSignatures(docs, bands, k)).cache()
     val a = sig.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
     val b = sig.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "sig"))
@@ -189,7 +196,10 @@ object Dedup {
     val bands = maxHamming + 1
     require(bits % bands == 0, s"bits=$bits must split into ${bands} equal bands")
     val w = bits / bands
-    val sh = TextOps.simhash(docs, bits)
+    // one row per doc — cached so the banded self-join below doesn't
+    // plan the tokenize+vote aggregation once per side (same rationale
+    // as lshCandidates)
+    val sh = TextOps.simhash(docs, bits).cache()
     val banded = sh.select(
       col("doc_id"),
       col("simhash"),
