@@ -195,6 +195,8 @@ object SparkEntry {
 
     // -------- multimodal stub ------------------------------------------
     "q20_multimodal_stub" -> ((s, dir) => Multimodal.features(s, rd(s, dir, "documents"))),
+    "q36_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(s, Multimodal.asMedia(s, rd(s, dir, "documents"))).toDF()),
 
     "q23_token_bpe" -> ((s, dir) => TextOps.bpeTokenCount(rd(s, dir, "documents"))),
     "q34_token_rarity" -> ((s, dir) => TextOps.tokenRarity(rd(s, dir, "documents"))),
@@ -557,6 +559,14 @@ round(quantile_cont(n_chars, 0.5), 4) AS p50,
 round(quantile_cont(n_chars, 0.9), 4) AS p90,
 max(n_chars) AS p100
 FROM documents GROUP BY 1""",
+    "q36_frame_sample" ->
+      """WITH m AS (SELECT doc_id, text, strlen(text) AS nb FROM documents),
+f AS (SELECT doc_id, text,
+  unnest(generate_series(0, CAST(least(4, greatest(1, nb // 32)) AS INT) - 1)) AS i
+FROM m)
+SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * 32 AS BIGINT) AS frame_offset,
+md5(substr(text, CAST(i * 32 + 1 AS INT), 32)) AS frame_hash
+FROM f""",
     "q20_multimodal_stub" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS payload_len,
 md5(text) AS feature_hash,

@@ -70,4 +70,37 @@ object Multimodal {
     */
   def features(spark: SparkSession, docs: DataFrame): DataFrame =
     stubDecode(spark, asMedia(spark, docs)).toDF()
+
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_offset: Long, frame_hash: String)
+
+  /** STUB frame-sampling: a video decoder would seek to every Nth frame;
+    * the stub samples fixed-size byte windows at deterministic offsets.
+    * The plumbing is the real thing — one input row fans out to
+    * min(maxFrames, payload/frameBytes) frame rows inside a
+    * partition-local batch (per-partition "codec" init), which is exactly
+    * the shape a JNI/ffmpeg decode drops into. Oracle-checkable because
+    * the windows are byte ranges of the payload.
+    */
+  def frameSample(
+      spark: SparkSession,
+      media: Dataset[MediaRow],
+      frameBytes: Int = 32,
+      maxFrames: Int = 4
+  ): Dataset[Frame] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { m =>
+        val n = math.min(maxFrames.toLong, math.max(1L, m.meta.nBytes / frameBytes)).toInt
+        (0 until n).iterator.map { i =>
+          val off = i.toLong * frameBytes
+          val end = math.min(m.payload.length.toLong, off + frameBytes).toInt
+          md.reset()
+          val h = md.digest(java.util.Arrays.copyOfRange(m.payload, off.toInt, end))
+            .map("%02x".format(_)).mkString
+          Frame(m.doc_id, i, off, h)
+        }
+      }
+    }
+  }
 }

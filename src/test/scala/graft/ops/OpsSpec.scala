@@ -294,6 +294,23 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 1L, 0.5)))
   }
 
+  test("frameSample: deterministic byte-window frames, fan-out bounded by maxFrames") {
+    import spark.implicits._
+    // 100-byte doc -> min(4, 100/32)=3 frames; 10-byte doc -> 1 frame
+    val d = Seq(
+      (1L, "a" * 100, 100L),
+      (2L, "b" * 10, 10L)).toDF("doc_id", "text", "n_chars")
+    val frames = Multimodal.frameSample(spark, Multimodal.asMedia(spark, d)).collect()
+      .groupBy(_.doc_id)
+    assert(frames(1L).map(f => (f.frame_idx, f.frame_offset)).sorted.toSeq ==
+      Seq((0, 0L), (1, 32L), (2, 64L)))
+    assert(frames(2L).map(_.frame_idx).toSeq == Seq(0))
+    // hash is md5 of the exact byte window
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = md.digest(("a" * 32).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(frames(1L).find(_.frame_idx == 0).get.frame_hash == want)
+  }
+
   test("embeddingNearDup tiled join: pair set equals the cross-join scan; no BNLJ in plan") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -128,6 +128,34 @@ class StreamOpsSpec extends AnyFunSuite {
       s"one of the identical twins must be dropped, got ${ids.toSeq}")
   }
 
+  test("dedupStream: state store recovers from checkpoint across a query restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val (ckpt, outDir) = (s"$base/checkpoint", s"$base/out")
+    val mem = MemoryStream[StreamOps.Event]
+    def start() = StreamOps.dedupStream(mem.toDF())
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", outDir)
+      .outputMode("append").start()
+
+    mem.addData(StreamOps.Event(1, ts(0), 1, "click", 1.0))
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    // restart from the checkpoint: the dedup state must survive, so the
+    // duplicate of id 1 (inside the watermark) is still suppressed
+    mem.addData(
+      StreamOps.Event(1, ts(1), 1, "click", 1.0),
+      StreamOps.Event(2, ts(1), 2, "view", 2.0))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val ids = spark.read.parquet(outDir).select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L),
+      s"dedup state must survive the restart (id 1 once), got ${ids.toSeq}")
+  }
+
   test("sessionizeStream: state closes a session after the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
