@@ -52,6 +52,13 @@ object SparkEntry {
       val (ms, _, _) = Pipeline.run(s, train, ev, "hybrid")
       ms.toDF().orderBy("sid", "start")
     }),
+    // same pipeline through the CRF scorer (A6 parity path; rows-only —
+    // the model's gates are CrfSpec + the DebugCrf F1 rows)
+    "kg_mentions_crf" -> ((s, _) => {
+      val (train, ev) = kgCorpus(s, 200)
+      val (ms, _, _) = Pipeline.run(s, train, ev, "crf")
+      ms.toDF().orderBy("sid", "start")
+    }),
     "kg_triples" -> ((s, _) => {
       val (train, ev) = kgCorpus(s, 200)
       val (_, _, trips) = Pipeline.run(s, train, ev, "hybrid")
