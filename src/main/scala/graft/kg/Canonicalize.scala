@@ -57,6 +57,11 @@ object Canonicalize {
       localThreshold: Long = LocalCcThreshold
   ): DataFrame = {
     import spark.implicits._
+    // NOTE: the union's two branches re-plan the upstream edge subtree,
+    // but their shuffles canonicalize identically so ReuseExchange
+    // shares the expensive part; caching edges first was measured
+    // SLOWER at sf0.1 (cache-write overhead > the residual recompute) —
+    // don't "fix" this again
     val sym = edges
       .toDF("src", "dst")
       .union(edges.toDF("dst", "src").select($"src", $"dst"))
