@@ -84,6 +84,17 @@ object StreamOps {
       .withWatermark("ts", s"$lateSec seconds")
       .dropDuplicatesWithinWatermark("simhash")
 
+  /** Stream-batch enrichment: left-join the stream against a small
+    * static dimension with an explicit broadcast. Stateless (unlike a
+    * stream-stream join) and shuffle-free on the stream side — each
+    * micro-batch maps through the broadcast hash table, so the operator
+    * scales with the stream, not the dimension's key cardinality in
+    * state. The batch-side frame is re-read per micro-batch only if its
+    * source changes; a broadcast pins one snapshot per batch.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Gap-based streaming sessionization with per-user state. A session
     * closes when no event arrives within `gapSec` of the last one
     * (event time, enforced via watermark + state timeout).

@@ -128,6 +128,24 @@ class StreamOpsSpec extends AnyFunSuite {
       s"one of the identical twins must be dropped, got ${ids.toSeq}")
   }
 
+  test("enrichStream: stream rows pick up broadcast dimension attributes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[StreamOps.Event]
+    mem.addData(
+      StreamOps.Event(10, ts(0), 1, "click", 1.0),
+      StreamOps.Event(11, ts(1), 3, "view", 2.0)) // no dim row -> null tier
+    val q = StreamOps.enrichStream(mem.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enriched").select("event_id", "tier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows == Map(10L -> Some("gold"), 11L -> None))
+  }
+
   test("dedupStream: state store recovers from checkpoint across a query restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
