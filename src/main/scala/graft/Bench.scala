@@ -76,7 +76,8 @@ object Bench {
     "q06_sessionize", "q08_connected_components", "q13_simhash",
     "q15_minhash_sig", "q16_lsh_pairs", "q18_embed_neardup", "q19_cosine_topk",
     "q20_multimodal_stub", "q21_minhash_fast", "q22_lsh_pairs_fast",
-    "q23_token_bpe", "q26_neardup_clusters", "q27_simhash_neardup", "kg_ann_ivf"
+    "q23_token_bpe", "q26_neardup_clusters", "q27_simhash_neardup",
+    "q34_token_rarity", "q35_boilerplate", "q36_frame_sample", "kg_ann_ivf"
   )
 
   def main(args: Array[String]): Unit = {
