@@ -47,10 +47,17 @@ object XmlParse {
     * @param repo    partition-key column carried through for output layout
     * @param content full XML text of one `<document>`
     * @return sentences in document order; malformed XML yields Nil (the
-    *         pipeline surfaces these via a parse-error counter, it never
-    *         fails the job — at 10^12 files some rows WILL be garbage).
+    *         pipeline surfaces these via a parse-error counter —
+    *         Pipeline.parseCounted — it never fails the job: at 10^12
+    *         files some rows WILL be garbage).
     */
-  def parseDoc(repo: String, content: String): Seq[ParsedSentence] = {
+  def parseDoc(repo: String, content: String): Seq[ParsedSentence] =
+    parseDocEither(repo, content).getOrElse(Vector.empty)
+
+  /** [[parseDoc]] with the failure surfaced: Left(error) for malformed
+    * XML instead of a silent Nil, so callers can count corrupt rows.
+    */
+  def parseDocEither(repo: String, content: String): Either[String, Seq[ParsedSentence]] = {
     val out = ArrayBuffer.empty[ParsedSentence]
     var reader: XMLStreamReader = null
     try {
@@ -107,9 +114,9 @@ object XmlParse {
           case _ =>
         }
       }
-      out.toVector
+      Right(out.toVector)
     } catch {
-      case _: Exception => Vector.empty
+      case e: Exception => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
     } finally {
       if (reader != null) try reader.close() catch { case _: Exception => }
     }

@@ -56,6 +56,32 @@ object Pipeline {
       })
   }
 
+  /** Permissive scan with a corrupt-row counter: malformed XML never
+    * fails the job; each bad document increments the returned
+    * accumulator and contributes zero sentences. The counter is the
+    * north rule's health metric for the ingest stage — read it AFTER an
+    * action; like all Spark accumulators it is at-least-once under task
+    * retries, which is the right semantic for a health signal (never
+    * under-reports).
+    */
+  def parseCounted(
+      spark: SparkSession,
+      docs: DataFrame
+  ): (Dataset[ParsedSentence], org.apache.spark.util.LongAccumulator) = {
+    import spark.implicits._
+    val bad = spark.sparkContext.longAccumulator("malformed_docs")
+    val ds = docs
+      .select(col("repo"), col("content"))
+      .as[(String, String)]
+      .mapPartitions(_.flatMap { case (repo, content) =>
+        XmlParse.parseDocEither(repo, content) match {
+          case Right(sents) => sents
+          case Left(_)      => bad.add(1L); Nil
+        }
+      })
+    (ds, bad)
+  }
+
   /** Reference-format feature rows (D4) — the `extract-features.py`
     * stage output, kept nested per sentence.
     */

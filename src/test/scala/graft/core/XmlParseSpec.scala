@@ -67,4 +67,20 @@ class XmlParseSpec extends AnyFunSuite {
     val parsed = XmlParse.parseDoc("r", evil)
     assert(parsed.isEmpty || parsed.head.text.isEmpty)
   }
+
+  test("parseCounted: corrupt rows are counted, never fail the scan") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val docs = Seq(
+      ("r0", doc),
+      ("r0", "<document id='x'><sentence"), // truncated — malformed
+      ("r1", doc)
+    ).toDF("repo", "content")
+    val (sents, bad) = graft.pipeline.Pipeline.parseCounted(spark, docs)
+    assert(sents.count() == 6) // 3 sentences from each good doc
+    assert(bad.value == 1L, s"expected 1 malformed doc, counter says ${bad.value}")
+    // and the Either surface distinguishes failure from legitimately-empty
+    assert(XmlParse.parseDocEither("r", "not xml").isLeft)
+    assert(XmlParse.parseDocEither("r", doc).toOption.get.nonEmpty)
+  }
 }
