@@ -181,6 +181,41 @@ object Crf {
     CrfParams(labels, stateOut, transOut)
   }
 
+  /** Parameter averaging over independently-fitted CRFs — the standard
+    * distributed training strategy for structured linear models
+    * (partition-local SGD, average the weight vectors; public literature:
+    * McDonald et al. 2010, distributed structured perceptron). Labels
+    * and feature vocabularies are unioned; a weight absent from a local
+    * model averages as 0.
+    */
+  def average(ps: Seq[CrfParams]): CrfParams = {
+    require(ps.nonEmpty, "no models to average")
+    val labels = ps.flatMap(_.labels).distinct.sorted.toArray
+    val idx = labels.zipWithIndex.toMap
+    val n = labels.length
+    val inv = 1.0 / ps.length
+    val trans = Array.fill(n, n)(0.0)
+    val state = scala.collection.mutable.HashMap.empty[String, Array[Double]]
+    ps.foreach { p =>
+      val remap = p.labels.map(idx)
+      var a = 0
+      while (a < p.labels.length) {
+        var b = 0
+        while (b < p.labels.length) {
+          trans(remap(a))(remap(b)) += p.trans(a)(b) * inv
+          b += 1
+        }
+        a += 1
+      }
+      p.state.foreach { case (f, w) =>
+        val acc = state.getOrElseUpdate(f, new Array[Double](n))
+        var l = 0
+        while (l < w.length) { acc(remap(l)) += w(l) * inv; l += 1 }
+      }
+    }
+    CrfParams(labels, state.toMap, trans)
+  }
+
   /** First-order Viterbi decode; unseen features contribute nothing
     * (crfsuite ignores unknown attributes at tag time). Ties break to the
     * lower label index — deterministic.

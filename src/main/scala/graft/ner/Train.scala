@@ -152,6 +152,36 @@ object Train {
     Crf.fitTokenStream(stream, c2, epochs)
   }
 
+  /** Distributed CRF fit for training corpora too large to collect:
+    * partition-local l2sgd (each range partition fits on its own
+    * document-contiguous chunk, sorted (sid, start) — pseudo-sequences
+    * never span executors) followed by parameter averaging on the
+    * driver. The averaged model trades a little accuracy for unbounded
+    * training-set scale; measured on the reference corpus in BASELINE.md.
+    * Deterministic: range partitioning samples with fixed seeds and each
+    * local fit is deterministic.
+    */
+  def fitCrfDistributed(
+      spark: SparkSession,
+      rows: Dataset[FeatureRow],
+      c2: Double = 0.1,
+      epochs: Int = 30,
+      parts: Int = 8
+  ): Crf.CrfParams = {
+    implicit val enc: org.apache.spark.sql.Encoder[Crf.CrfParams] =
+      org.apache.spark.sql.Encoders.kryo[Crf.CrfParams]
+    val locals = rows
+      .repartitionByRange(parts, col("sid"))
+      .sortWithinPartitions(col("sid"), col("start"))
+      .mapPartitions { it =>
+        val stream = it.map(r => (r.features, r.tag)).toVector
+        if (stream.isEmpty) Iterator.empty
+        else Iterator.single(Crf.fitTokenStream(stream, c2, epochs))
+      }
+      .collect()
+    Crf.average(scala.collection.immutable.ArraySeq.unsafeWrapArray(locals))
+  }
+
   /** Gold spans -> reference-tag oracle (used for round-trip parity and
     * as the training-label producer).
     */

@@ -35,11 +35,15 @@ object DebugCrf {
       val t0 = System.nanoTime()
       val params = Train.fitCrf(spark, Pipeline.featureRows(spark, train), epochs = epochs)
       val fitSec = (System.nanoTime() - t0) / 1e9
+      val distParams = Train.fitCrfDistributed(
+        spark, Pipeline.featureRows(spark, train), epochs = epochs, parts = 8)
+      for (variant <- Seq("crf", "gaz+crf", "crf_dist8")) {
       val crf: MentionScorer = new CrfScorer(params)
-      for (withGaz <- Seq(false, true)) {
-      val scorer: MentionScorer =
-        if (!withGaz) crf
-        else new MergeScorer(new GazetteerScorer(gazMap, gazN), crf)
+      val scorer: MentionScorer = variant match {
+        case "crf"       => crf
+        case "gaz+crf"   => new MergeScorer(new GazetteerScorer(gazMap, gazN), crf)
+        case "crf_dist8" => new CrfScorer(distParams)
+      }
       val b = spark.sparkContext.broadcast(scorer)
       def f1On(ds: org.apache.spark.sql.Dataset[graft.core.ParsedSentence]) = {
         val ms = Pipeline.mentions(spark, Pipeline.analyze(spark, ds, b))
@@ -50,8 +54,7 @@ object DebugCrf {
       }
       val (dp, dr, df, dn) = f1On(devel)
       val (xp, xr, xf, xn) = f1On(test)
-      val tag = if (withGaz) "gaz+crf" else "crf"
-      println(f"$tag epochs=$epochs fit=${fitSec}%.1fs devel P=$dp%.3f R=$dr%.3f F1=$df%.3f (untyped $dn%.3f) | test P=$xp%.3f R=$xr%.3f F1=$xf%.3f (untyped $xn%.3f)")
+      println(f"$variant epochs=$epochs fit=${fitSec}%.1fs devel P=$dp%.3f R=$dr%.3f F1=$df%.3f (untyped $dn%.3f) | test P=$xp%.3f R=$xr%.3f F1=$xf%.3f (untyped $xn%.3f)")
       }
     }
     spark.stop()

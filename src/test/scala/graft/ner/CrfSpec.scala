@@ -48,6 +48,29 @@ class CrfSpec extends AnyFunSuite {
     assert(Crf.viterbi(params, IndexedSeq.empty).isEmpty)
   }
 
+  test("parameter averaging: single-model average is the identity; distributed fit learns transitions") {
+    val p = Crf.fit(IndexedSeq(seq("a" -> "B-drug", "b" -> "I-drug")), epochs = 10)
+    val avg1 = Crf.average(Seq(p))
+    assert(avg1.labels.toSeq == p.labels.toSeq)
+    assert(avg1.trans.flatten.toSeq == p.trans.flatten.toSeq)
+    assert(p.state.forall { case (f, w) => avg1.state(f).toSeq == w.toSeq })
+
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    // the transition-disambiguation task, replicated across many sids so
+    // both range partitions get full copies of the pattern
+    val rows = (0 until 40).flatMap { d =>
+      Seq(
+        graft.core.FeatureRow(f"s$d%03d", "a", 0, 0, "B-drug", Seq("f=a")),
+        graft.core.FeatureRow(f"s$d%03d", "b", 1, 1, "I-drug", Seq("f=b")),
+        graft.core.FeatureRow(f"s$d%03d", "c", 2, 2, "O", Seq("f=c")),
+        graft.core.FeatureRow(f"s$d%03d", "b", 3, 3, "O", Seq("f=b")))
+    }
+    val dist = Train.fitCrfDistributed(spark, spark.createDataset(rows), epochs = 30, parts = 2)
+    assert(Crf.viterbi(dist, IndexedSeq(Seq("f=a"), Seq("f=b"))) == IndexedSeq("B-drug", "I-drug"))
+    assert(Crf.viterbi(dist, IndexedSeq(Seq("f=c"), Seq("f=b"))) == IndexedSeq("O", "O"))
+  }
+
   test("CrfScorer resolves via the registry and tags a real tokenized sentence") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
