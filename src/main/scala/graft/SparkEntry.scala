@@ -567,12 +567,12 @@ round(quantile_cont(n_chars, 0.9), 4) AS p90,
 max(n_chars) AS p100
 FROM documents GROUP BY 1""",
     "q36_frame_sample" ->
-      """WITH m AS (SELECT doc_id, text, strlen(text) AS nb FROM documents),
-f AS (SELECT doc_id, text,
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS nb FROM documents),
+f AS (SELECT doc_id, hx,
   unnest(generate_series(0, CAST(least(4, greatest(1, nb // 32)) AS INT) - 1)) AS i
 FROM m)
 SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * 32 AS BIGINT) AS frame_offset,
-md5(substr(text, CAST(i * 32 + 1 AS INT), 32)) AS frame_hash
+md5(substr(hx, CAST(i * 64 + 1 AS INT), 64)) AS frame_hash
 FROM f""",
     "q20_multimodal_stub" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS payload_len,

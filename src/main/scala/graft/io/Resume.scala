@@ -28,13 +28,23 @@ object Resume {
 
   private def manifestDir(table: String) = Paths.get(table, "_graft_commits")
 
+  /** Manifest file names are URL-encoded: repo ids are arbitrary strings
+    * ("org/name", "a:b") that would otherwise escape the manifest dir or
+    * diverge from the (separately percent-escaped) partition directory
+    * names Spark writes.
+    */
+  private def enc(repo: String): String =
+    java.net.URLEncoder.encode(repo, "UTF-8")
+  private def dec(name: String): String =
+    java.net.URLDecoder.decode(name, "UTF-8")
+
   def committedRepos(table: String): Set[String] = {
     val dir = manifestDir(table)
     if (!Files.isDirectory(dir)) Set.empty
     else
       Files.list(dir).iterator().asScala
         .filter(_.toString.endsWith(".json"))
-        .map(p => p.getFileName.toString.stripSuffix(".json"))
+        .map(p => dec(p.getFileName.toString.stripSuffix(".json")))
         .toSet
   }
 
@@ -98,18 +108,21 @@ object Resume {
       val commit = Commit(repo, rows, distinctSubj, java.time.Instant.now().toString)
       val json =
         s"""{"repo":"${commit.repo}","rows":${commit.rows},"distinct_subj":${commit.distinctSubj},"ts":"${commit.ts}"}"""
-      val tmp = manifestDir(table).resolve(s".$repo.json.tmp")
+      val tmp = manifestDir(table).resolve(s".${enc(repo)}.json.tmp")
       Files.write(tmp, json.getBytes("UTF-8"))
-      Files.move(tmp, manifestDir(table).resolve(s"$repo.json"),
+      Files.move(tmp, manifestDir(table).resolve(s"${enc(repo)}.json"),
         StandardCopyOption.ATOMIC_MOVE)
       commit
     }
   }
 
-  /** Read the committed table back. Only committed partition directories
-    * are listed (orphans from a crashed run stay invisible — the Iceberg
-    * snapshot-read contract); `basePath` recovers the `repo` partition
-    * column from the directory layout in one multi-path scan.
+  /** Read the committed table back. Partition discovery over the whole
+    * table recovers the `repo` column (Spark unescapes the percent-
+    * encoded directory names itself — building `repo=<raw>` paths by
+    * hand would break for repos with reserved characters), then the
+    * committed-set filter prunes uncommitted orphan partitions before
+    * any of their files are opened — the Iceberg snapshot-read contract.
+    * `_graft_commits` is invisible to the scan (underscore prefix).
     */
   def read(spark: SparkSession, table: String): Dataset[Triple] = {
     import spark.implicits._
@@ -117,8 +130,12 @@ object Resume {
     if (repos.isEmpty) spark.emptyDataset[Triple]
     else
       spark.read
-        .option("basePath", table)
-        .parquet(repos.map(r => s"$table/repo=$r"): _*)
+        // explicit schema: no footer sampling at planning time, so a
+        // torn file inside an uncommitted orphan partition can never
+        // fail the read of the committed snapshot
+        .schema(org.apache.spark.sql.Encoders.product[Triple].schema)
+        .parquet(table)
+        .filter(col("repo").isin(repos: _*))
         .as[Triple]
   }
 }

@@ -189,7 +189,9 @@ object Crf {
     * model averages as 0.
     */
   def average(ps: Seq[CrfParams]): CrfParams = {
-    require(ps.nonEmpty, "no models to average")
+    // zero models (an entirely empty training set) averages to the empty
+    // model — same degenerate output as fit on an empty stream
+    if (ps.isEmpty) return fit(IndexedSeq.empty)
     val labels = ps.flatMap(_.labels).distinct.sorted.toArray
     val idx = labels.zipWithIndex.toMap
     val n = labels.length
@@ -224,6 +226,9 @@ object Crf {
     val nLab = params.labels.length
     val T = xs.length
     if (T == 0) return IndexedSeq.empty
+    // a model fitted on zero tokens has no labels: degrade to all-O
+    // (the CustomModel floor) instead of crashing the executor task
+    if (nLab == 0) return xs.map(_ => "O")
     val psi = Array.tabulate(T, nLab) { (i, l) =>
       var s = 0.0
       xs(i).foreach { f =>

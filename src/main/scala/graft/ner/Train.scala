@@ -158,8 +158,10 @@ object Train {
     * never span executors) followed by parameter averaging on the
     * driver. The averaged model trades a little accuracy for unbounded
     * training-set scale; measured on the reference corpus in BASELINE.md.
-    * Deterministic: range partitioning samples with fixed seeds and each
-    * local fit is deterministic.
+    * Determinism caveat: range-partition boundaries come from sampling
+    * seeded by RDD id, so the result is reproducible for a fixed program
+    * (same session, same job order) but NOT across different call
+    * orderings — the driver-side fitCrf is the fully-deterministic path.
     */
   def fitCrfDistributed(
       spark: SparkSession,

@@ -10,8 +10,11 @@ import org.apache.spark.sql.functions._
   *   - exact dedup is one hash-groupBy on a 128-bit digest — the digest
   *     (16 bytes) shuffles, never the document body;
   *   - MinHash+LSH bounds the near-dup search to same-(band, signature)
-  *     buckets: candidate generation is a self-equi-join on the bucket
-  *     key, i.e. O(sum of bucket² ) instead of O(n²);
+  *     buckets: candidates come from in-bucket pair combinations after
+  *     ONE shuffle of the signature stream into buckets — O(Σ bucket²)
+  *     pair work instead of O(n²), and half the shuffle volume of the
+  *     equivalent bucket-keyed self-join (which ships each signature
+  *     once per join side);
   *   - n-gram Jaccard is the expensive verifier, run only on LSH
   *     candidates (or an explicit bounded pair set);
   *   - embedding near-dup brute force is for verification; the scale
@@ -119,24 +122,37 @@ object Dedup {
   }
 
   /** LSH candidate pairs: docs sharing a (band, sig) bucket; returns
-    * (doc_a < doc_b, n_shared_bands). The self-join shuffles on the
-    * bucket key only.
+    * (doc_a < doc_b, n_shared_bands).
+    *
+    * Shape: ONE aggregation into per-bucket doc lists, then in-bucket
+    * pair combinations in a partition-local flatMap. The earlier
+    * self-join formulation shuffled the signature stream TWICE (one
+    * join side each; AQE cannot ReuseExchange across the aliases) or
+    * needed an explicit materialization; this computes the signature
+    * pipeline once and shuffles it once. Pair-generation work is the
+    * same O(Σ bucket²); each bucket is held in one task (fine — LSH
+    * buckets are small by construction; run exact dedup (q14) first on
+    * duplicate-heavy corpora so identical texts don't form one giant
+    * bucket).
     */
   def lshCandidates(docs: DataFrame, bands: Int = 8, k: Int = 3, fast: Boolean = false): DataFrame = {
-    // materialize signatures ONCE for the self-join: without this the
-    // whole scan → shingle → hash → aggregate pipeline is planned twice
-    // (one subtree per join side — confirmed in the physical plan; AQE
-    // cannot ReuseExchange across the differing aliases). cache() is the
-    // in-API form of what a 10^12-row pipeline does anyway: persist the
-    // signature table, then join it against itself. MEMORY_AND_DISK by
-    // default, and the frame is bands-per-doc small.
+    val spark = docs.sparkSession
+    import spark.implicits._
     val sig =
-      (if (fast) minhashSignaturesFast(docs, bands, k)
-       else minhashSignatures(docs, bands, k)).cache()
-    val a = sig.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
-    val b = sig.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
+      if (fast) minhashSignaturesFast(docs, bands, k)
+      else minhashSignatures(docs, bands, k)
+    sig
+      .groupBy(col("band"), col("sig"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"))
+      .as[Seq[Long]]
+      .flatMap { ids =>
+        val s = ids.sorted
+        for { i <- s.indices.iterator; j <- (i + 1 until s.length).iterator }
+          yield (s(i), s(j))
+      }
+      .toDF("doc_a", "doc_b")
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
   }
@@ -196,10 +212,12 @@ object Dedup {
     val bands = maxHamming + 1
     require(bits % bands == 0, s"bits=$bits must split into ${bands} equal bands")
     val w = bits / bands
-    // one row per doc — cached so the banded self-join below doesn't
-    // plan the tokenize+vote aggregation once per side (same rationale
-    // as lshCandidates)
-    val sh = TextOps.simhash(docs, bits).cache()
+    // same single-pass bucket-combinations shape as lshCandidates: the
+    // fingerprint aggregation is computed once and shuffled once (the
+    // earlier banded self-join planned it once per side)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = TextOps.simhash(docs, bits)
     val banded = sh.select(
       col("doc_id"),
       col("simhash"),
@@ -209,18 +227,25 @@ object Dedup {
           shiftright(col("simhash"), b * w).bitwiseAND(lit((1L << w) - 1)).as("key"))): _*))
         .as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded.select(col("band"), col("key"), col("doc_id").as("doc_a"), col("simhash").as("h_a"))
-    val b = banded.select(col("band"), col("key"), col("doc_id").as("doc_b"), col("simhash").as("h_b"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(
-        col("doc_a"),
-        col("doc_b"),
-        bit_count(col("h_a").bitwiseXOR(col("h_b"))).as("hamming"))
-      // filter BEFORE the dedup aggregate: hamming is deterministic per
-      // pair, and most band collisions fail the threshold — dropping
-      // them first keeps the dedup shuffle small
-      .filter(col("hamming") <= maxHamming)
+    banded
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(col("members"))
+      .as[Seq[(Long, Long)]]
+      .flatMap { members =>
+        // hamming filter INSIDE the combination loop: most band
+        // collisions fail the threshold, so the downstream dedup
+        // shuffle only carries true near-dups
+        val s = members.sortBy(_._1)
+        for {
+          i <- s.indices.iterator
+          j <- (i + 1 until s.length).iterator
+          h = java.lang.Long.bitCount(s(i)._2 ^ s(j)._2)
+          if h <= maxHamming
+        } yield (s(i)._1, s(j)._1, h)
+      }
+      .toDF("doc_a", "doc_b", "hamming")
       .dropDuplicates("doc_a", "doc_b") // a pair can agree on several bands
   }
 

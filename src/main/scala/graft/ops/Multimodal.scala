@@ -78,8 +78,14 @@ object Multimodal {
     * The plumbing is the real thing — one input row fans out to
     * min(maxFrames, payload/frameBytes) frame rows inside a
     * partition-local batch (per-partition "codec" init), which is exactly
-    * the shape a JNI/ffmpeg decode drops into. Oracle-checkable because
-    * the windows are byte ranges of the payload.
+    * the shape a JNI/ffmpeg decode drops into.
+    *
+    * The frame hash is md5 of the UPPERCASE HEX encoding of the byte
+    * window (not of the raw bytes): DuckDB 1.0's md5 only accepts
+    * VARCHAR, so hashing the hex string is the strongest byte-exact
+    * contract BOTH engines can compute — raw-byte hashing would make the
+    * oracle silently wrong for any multi-byte UTF-8 payload (char
+    * windows != byte windows).
     */
   def frameSample(
       spark: SparkSession,
@@ -95,9 +101,11 @@ object Multimodal {
         (0 until n).iterator.map { i =>
           val off = i.toLong * frameBytes
           val end = math.min(m.payload.length.toLong, off + frameBytes).toInt
+          val hex = new StringBuilder((end - off.toInt) * 2)
+          var j = off.toInt
+          while (j < end) { hex.append(f"${m.payload(j) & 0xff}%02X"); j += 1 }
           md.reset()
-          val h = md.digest(java.util.Arrays.copyOfRange(m.payload, off.toInt, end))
-            .map("%02x".format(_)).mkString
+          val h = md.digest(hex.toString.getBytes("US-ASCII")).map("%02x".format(_)).mkString
           Frame(m.doc_id, i, off, h)
         }
       }

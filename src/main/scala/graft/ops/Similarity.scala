@@ -190,7 +190,9 @@ object Similarity {
     */
   def bucketedTopK(
       embeddings: DataFrame, k: Int, nPlanes: Int = 8, multiProbe: Boolean = false): DataFrame = {
-    val b = lshBuckets(embeddings, nPlanes).cache()
+    // localCheckpoint, not cache: released on GC instead of pinned in
+    // the CacheManager forever (no unpersist point exists here)
+    val b = lshBuckets(embeddings, nPlanes).localCheckpoint()
     val probes =
       if (!multiProbe) array(col("bucket"))
       else array(col("bucket") +: (0 until nPlanes)

@@ -71,6 +71,22 @@ class IoSpec extends AnyFunSuite {
     assert(back.map(_.repo).distinct().collect().sorted.toSeq == Seq("repo-a", "repo-b", "repo-c"))
   }
 
+  test("resume: repo ids with reserved path characters round-trip") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("kg").toString + "/triples"
+    val weird = Seq("org/name", "a:b=c", "pct%20enc")
+    val trips = spark.createDataset(
+      weird.flatMap(r => (1 to 2).map(i => Triple(s"d$i", "int", "o", s"$r.s$i", "e1", "e2", r))))
+    val c = Resume.writeResumable(spark, trips, table)
+    assert(c.map(_.repo).sorted == weird.sorted)
+    assert(Resume.committedRepos(table) == weird.toSet)
+    val back = Resume.read(spark, table)
+    assert(back.count() == 6)
+    assert(back.map(_.repo).distinct().collect().sorted.toSeq == weird.sorted)
+    // re-resume is still a no-op with the escaped names
+    assert(Resume.writeResumable(spark, trips, table).isEmpty)
+  }
+
   test("resume: orphan partition data without a manifest stays invisible, then heals") {
     import spark.implicits._
     val table = Files.createTempDirectory("kg").toString + "/triples"

@@ -296,19 +296,29 @@ class OpsSpec extends AnyFunSuite {
 
   test("frameSample: deterministic byte-window frames, fan-out bounded by maxFrames") {
     import spark.implicits._
-    // 100-byte doc -> min(4, 100/32)=3 frames; 10-byte doc -> 1 frame
+    def md5hex(bytes: Array[Byte]): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = bytes.map(b => f"${b & 0xff}%02X").mkString
+      md.digest(hex.getBytes("US-ASCII")).map("%02x".format(_)).mkString
+    }
+    // 100-byte doc -> min(4, 100/32)=3 frames; 10-byte doc -> 1 frame;
+    // multibyte doc: 20 two-byte 'ü' + 60 'x' = 100 BYTES (80 chars)
     val d = Seq(
       (1L, "a" * 100, 100L),
-      (2L, "b" * 10, 10L)).toDF("doc_id", "text", "n_chars")
+      (2L, "b" * 10, 10L),
+      (3L, "ü" * 20 + "x" * 60, 80L)).toDF("doc_id", "text", "n_chars")
     val frames = Multimodal.frameSample(spark, Multimodal.asMedia(spark, d)).collect()
       .groupBy(_.doc_id)
     assert(frames(1L).map(f => (f.frame_idx, f.frame_offset)).sorted.toSeq ==
       Seq((0, 0L), (1, 32L), (2, 64L)))
     assert(frames(2L).map(_.frame_idx).toSeq == Seq(0))
-    // hash is md5 of the exact byte window
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val want = md.digest(("a" * 32).getBytes("UTF-8")).map("%02x".format(_)).mkString
-    assert(frames(1L).find(_.frame_idx == 0).get.frame_hash == want)
+    assert(frames(1L).find(_.frame_idx == 0).get.frame_hash ==
+      md5hex(("a" * 32).getBytes("UTF-8")))
+    // byte (not char) windows: frame 0 of doc 3 is the first 32 BYTES =
+    // sixteen 2-byte ü's — would differ if windows were character-based
+    assert(frames(3L).map(_.frame_idx).sorted.toSeq == Seq(0, 1, 2))
+    assert(frames(3L).find(_.frame_idx == 0).get.frame_hash ==
+      md5hex(("ü" * 16).getBytes("UTF-8")))
   }
 
   test("embeddingNearDup tiled join: pair set equals the cross-join scan; no BNLJ in plan") {
