@@ -93,7 +93,9 @@ object SparkEntry {
     }),
     // Gold scans (S3/S4), dumped flat so the kg_eval_*/kg_canonical_map
     // oracles can replay the eval math / alias CC in pure SQL over them
-    // (pred side comes from the kg_mentions / kg_triples dumps).
+    // (pred side comes from the kg_mentions / kg_triples dumps). They
+    // are rows-only themselves but TRANSITIVELY verified: a wrong gold
+    // dump would hash-mismatch all three oracles that consume it.
     "kg_gold_spans" -> ((s, _) => {
       import s.implicits._
       val (_, ev) = kgCorpus(s, 200)
