@@ -39,7 +39,10 @@ object SparkEntry {
   // ---- KG pipeline queries (rows-only; gated by tests + evaluator) ----
 
   private def kgCorpus(s: SparkSession, n: Long) = {
-    val sents = Pipeline.parse(s, DocGen.corpus(s, n)).cache()
+    // localCheckpoint (GC-released), not cache: Verify runs ~10 kg
+    // queries, each building a fresh corpus — cache entries would pin
+    // storage for the whole 47-query session
+    val sents = Pipeline.parse(s, DocGen.corpus(s, n)).localCheckpoint()
     val train = sents.filter(x => math.abs(x.docId.hashCode) % 4 != 0)
     val ev = sents.filter(x => math.abs(x.docId.hashCode) % 4 == 0)
     (train, ev)
@@ -395,11 +398,11 @@ FROM j""",
     "q06_sessionize" ->
       """WITH x AS (SELECT user_id, ts, event_id,
 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events),
-y AS (SELECT user_id, event_id,
+y AS (SELECT user_id, event_id, ts,
 CASE WHEN prev_ts IS NULL
   OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END AS brk FROM x),
 z AS (SELECT user_id, event_id,
-CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS session_id FROM y),
+CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id FROM y),
 c AS (SELECT user_id, session_id, count(*) AS n_events FROM z GROUP BY 1, 2)
 SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
 FROM c GROUP BY 1""",
@@ -577,7 +580,7 @@ SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * 32 AS BIGINT) AS frame_offs
 md5(substr(hx, CAST(i * 64 + 1 AS INT), 64)) AS frame_hash
 FROM f""",
     "q20_multimodal_stub" ->
-      """SELECT doc_id, CAST(length(text) AS BIGINT) AS payload_len,
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS payload_len,
 md5(text) AS feature_hash,
 CAST(greatest(1, (n_chars % 640) // 4) AS INT) AS thumb_w,
 CAST(120 AS INT) AS thumb_h

@@ -75,7 +75,7 @@ object Tokenize {
     P("(?i)\\b(gon)(na)\\b"),
     P("(?i)\\b(got)(ta)\\b"),
     P("(?i)\\b(lem)(me)\\b"),
-    P("(?i)\\b(more)('n)\\b"),
+    P("(?i)\\b(mor)('n)\\b"),
     P("(?i)\\b(wan)(na)(?=\\s)")
   )
 
@@ -105,9 +105,12 @@ object Tokenize {
     false
   }
 
+  // lowercase-only: the trigger scan lowercases the text first, so
+  // ALL-CAPS/mixed-case contraction words still enter the rule group
+  // (the CONTRACTIONS2 patterns are (?i)); apostrophe forms ('tis,
+  // d'ye, mor'n, n't...) are covered by the separate '\'' check
   private val WordContractionTriggers =
-    Seq("cannot", "gimme", "gonna", "gotta", "lemme", "wanna",
-      "Cannot", "Gimme", "Gonna", "Gotta", "Lemme", "Wanna")
+    Seq("cannot", "gimme", "gonna", "gotta", "lemme", "wanna")
 
   /** Treebank tokenization of a single (already-split) sentence. */
   def treebankWords(sent: String): Vector[String] = {
@@ -124,7 +127,10 @@ object Tokenize {
     if (hasQuote) {
       text = applyAll(text, ENDING_QUOTES)
     }
-    if (text.indexOf('\'') >= 0 || WordContractionTriggers.exists(text.contains)) {
+    if (text.indexOf('\'') >= 0 || {
+          val lower = text.toLowerCase
+          WordContractionTriggers.exists(lower.contains)
+        }) {
       CONTRACTIONS2.foreach(p => text = p.matcher(text).replaceAll(" $1 $2 "))
       CONTRACTIONS3.foreach(p => text = p.matcher(text).replaceAll(" $1 $2 "))
     }

@@ -41,11 +41,15 @@ object Resume {
   def committedRepos(table: String): Set[String] = {
     val dir = manifestDir(table)
     if (!Files.isDirectory(dir)) Set.empty
-    else
-      Files.list(dir).iterator().asScala
-        .filter(_.toString.endsWith(".json"))
-        .map(p => dec(p.getFileName.toString.stripSuffix(".json")))
-        .toSet
+    else {
+      val stream = Files.list(dir) // close: holds a directory fd
+      try
+        stream.iterator().asScala
+          .filter(_.toString.endsWith(".json"))
+          .map(p => dec(p.getFileName.toString.stripSuffix(".json")))
+          .toSet
+      finally stream.close()
+    }
   }
 
   /** Write all not-yet-committed repos of `triples` into `table` in ONE

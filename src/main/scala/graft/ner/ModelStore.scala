@@ -72,7 +72,8 @@ object ModelStore {
     * registered class until one loads).
     */
   def load(path: String): Either[Map[String, String], MnbParams] = {
-    val first = Files.lines(Paths.get(path)).findFirst().orElse("")
+    val lines = Files.lines(Paths.get(path))
+    val first = try lines.findFirst().orElse("") finally lines.close()
     if (first.startsWith("GAZ\t")) Left(loadGazetteer(path))
     else if (first.startsWith("MNB\t")) Right(loadMnb(path))
     else throw new IllegalArgumentException(s"unrecognized model file: $path")

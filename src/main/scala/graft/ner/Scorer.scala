@@ -98,6 +98,7 @@ final case class MnbParams(
     * logic over [[scoresRaw]]).
     */
   def predictWithMarginRaw(feats: Seq[String], reject: String, margin: Double): String = {
+    if (classes.isEmpty) return reject
     val s = scoresRaw(feats)
     val rejIdx = classes.indexOf(reject)
     if (rejIdx < 0) return predict(Features.toDict(feats))
@@ -111,6 +112,9 @@ final case class MnbParams(
   }
 
   def predict(dictFeats: Seq[(String, String)]): String = {
+    // empty model (zero training examples): degrade to the all-O floor
+    // like the other scorers instead of indexing into an empty array
+    if (classes.isEmpty) return "O"
     val s = scores(dictFeats)
     var best = 0
     var i = 1
@@ -127,6 +131,7 @@ final case class MnbParams(
     * "none").
     */
   def predictWithMargin(dictFeats: Seq[(String, String)], reject: String, margin: Double): String = {
+    if (classes.isEmpty) return reject
     val s = scores(dictFeats)
     val rejIdx = classes.indexOf(reject)
     if (rejIdx < 0) return predict(dictFeats)

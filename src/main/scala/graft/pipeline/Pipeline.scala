@@ -281,7 +281,11 @@ object Pipeline {
   ): (Dataset[Mention], Dataset[Relation], Dataset[Triple]) = {
     import spark.implicits._
     val models = spark.sparkContext.broadcast(fit(spark, train, scorerName, mnbMinFreq))
-    val scored = score(spark, eval, models).cache()
+    // localCheckpoint, not cache: the three returned views share one
+    // materialization, and checkpoint blocks are released when the
+    // frames are garbage-collected — run() has no unpersist point, and
+    // a catalog driver invokes it dozens of times per session
+    val scored = score(spark, eval, models).localCheckpoint()
     val rels = scored.flatMap(_.triples.map(t => Relation(t.sid, t.e1, t.e2, t.interactionPred)))
     (scored.flatMap(_.mentions), rels, scored.flatMap(_.triples))
   }

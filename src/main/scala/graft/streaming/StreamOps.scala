@@ -122,7 +122,15 @@ object StreamOps {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last <= gapSec * 1000 =>
-                  cur = Some(s.copy(n = s.n + 1, last = t))
+                  // min/max (not overwrite): a late event from an earlier
+                  // micro-batch may precede the stored bounds —
+                  // flatMapGroupsWithState does NOT drop late rows, and
+                  // rewinding `last` would set a timeout in the past
+                  // (IllegalArgumentException) and mis-split sessions
+                  cur = Some(s.copy(
+                    n = s.n + 1,
+                    start = math.min(s.start, t),
+                    last = math.max(s.last, t)))
                 case Some(s) =>
                   out += SessionOut(userId, s.n, new Timestamp(s.start), new Timestamp(s.last))
                   cur = Some(SessionState(1, t, t))
@@ -132,7 +140,9 @@ object StreamOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapSec * 1000)
+              // timeouts must be strictly beyond the current watermark
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapSec * 1000, state.getCurrentWatermarkMs() + 1))
             }
             out.result().iterator
           }
