@@ -34,6 +34,12 @@ class TokenizeSpec extends AnyFunSuite {
     assert(forms("don't stop") == Vector("do", "n't", "stop"))
     assert(forms("it's fine") == Vector("it", "'s", "fine"))
     assert(forms("cannot") == Vector("can", "not"))
+    // the (?i) rules apply regardless of case — the trigger fast-path
+    // must not skip ALL-CAPS words (parity fix, round 2)
+    assert(forms("You CANNOT stop") == Vector("You", "CAN", "NOT", "stop"))
+    assert(forms("GONNA try") == Vector("GON", "NA", "try"))
+    // NLTK's rule is (mor)('n), not (more)('n)
+    assert(forms("mor'n enough") == Vector("mor", "'n", "enough"))
   }
 
   test("parentheses and brackets are separate tokens") {
