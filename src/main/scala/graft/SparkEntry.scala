@@ -147,9 +147,14 @@ object SparkEntry {
         )
     }),
     "q03_window_lag" -> ((s, dir) => {
+      // l_quantity tiebreaker: the synthetic lineitem has duplicate
+      // (l_orderkey, l_linenumber) pairs (118k at sf0.1), so the 3-key
+      // sort is NOT total and the lag() sequence was engine-dependent —
+      // a nondeterministic oracle flake. (shipdate, orderkey,
+      // linenumber, quantity) is verified duplicate-free at sf0.01/0.1.
       val w = Window
         .partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       rd(s, dir, "lineitem")
         .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
         .groupBy(col("l_suppkey"))
@@ -367,7 +372,7 @@ FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1""",
     "q03_window_lag" ->
       """WITH w AS (SELECT l_suppkey, l_quantity,
 lag(l_quantity) OVER (PARTITION BY l_suppkey
-  ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity) AS prev_qty
 FROM lineitem)
 SELECT l_suppkey,
 CAST(sum(CASE WHEN l_quantity > prev_qty THEN 1 ELSE 0 END) AS BIGINT) AS n_increasing,
