@@ -28,10 +28,7 @@ object SparkEntry {
     * rows > 0.
     */
   def entry(spark: SparkSession): DataFrame = {
-    val corpus = DocGen.corpus(spark, 80)
-    val sents = Pipeline.parse(spark, corpus).cache()
-    val train = sents.filter(s => math.abs(s.docId.hashCode) % 4 != 0)
-    val ev = sents.filter(s => math.abs(s.docId.hashCode) % 4 == 0)
+    val (train, ev) = kgCorpus(spark, 80)
     val (_, _, trips) = Pipeline.run(spark, train, ev, "hybrid")
     trips.toDF()
   }
@@ -294,12 +291,14 @@ sigs AS (SELECT doc_id, band,
     * IEEE double arithmetic as Evaluator.mkRow.
     */
   private def evalOracle(goldSel: String, predSel: String): String = {
+    // coalesce: aggregates over ZERO rows (gold and pred both empty)
+    // must yield the explicit zero row Evaluator emits, not NULLs
     def counters(src: String) =
-      s"""CAST(sum(CASE WHEN ing AND inp THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-CAST(sum(CASE WHEN (NOT ing) AND inp THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-CAST(sum(CASE WHEN ing AND (NOT inp) THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-CAST(sum(CASE WHEN inp THEN 1 ELSE 0 END) AS BIGINT) AS npred,
-CAST(sum(CASE WHEN ing THEN 1 ELSE 0 END) AS BIGINT) AS nexp
+      s"""CAST(coalesce(sum(CASE WHEN ing AND inp THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+CAST(coalesce(sum(CASE WHEN (NOT ing) AND inp THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+CAST(coalesce(sum(CASE WHEN ing AND (NOT inp) THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn,
+CAST(coalesce(sum(CASE WHEN inp THEN 1 ELSE 0 END), 0) AS BIGINT) AS npred,
+CAST(coalesce(sum(CASE WHEN ing THEN 1 ELSE 0 END), 0) AS BIGINT) AS nexp
 FROM $src"""
     s"""WITH g AS (SELECT DISTINCT $goldSel),
 p AS (SELECT DISTINCT $predSel),
@@ -322,6 +321,21 @@ f AS (SELECT kind, tp, fp, fn, npred, nexp,
 SELECT kind, tp, fp, fn, npred, nexp, p, r,
   CASE WHEN p + r <> 0 THEN 2 * p * r / (p + r) ELSE 0 END AS f1 FROM f"""
   }
+
+  /** Shared min-label connected-components SQL. Expects a symmetric
+    * edge CTE named `e(src, dst)` in scope; defines `nodes` and
+    * `lbl(node, comp)` where comp = min reachable node. One definition so
+    * a propagation fix lands everywhere (used by kg_canonical_map, q08,
+    * q26).
+    */
+  private val ccLblCte: String =
+    """nodes AS (SELECT DISTINCT src AS node FROM e),
+lbl AS (
+WITH RECURSIVE r(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.comp FROM r JOIN e ON e.src = r.node WHERE r.comp < e.dst)
+SELECT node, min(comp) AS comp FROM r GROUP BY node)"""
 
   def oracleSql: Map[String, String] = Map(
     "kg_eval_ner" -> evalOracle(
@@ -348,13 +362,7 @@ vv AS (SELECT lc, unnest([lc, base, squashed, nohyphen, deplural]) AS v FROM v4)
 raw AS (SELECT lc AS src, 'v:' || v AS dst FROM vv WHERE v <> ''
         UNION SELECT lc, lc FROM s0),
 e AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
-nodes AS (SELECT DISTINCT src AS node FROM e),
-lbl AS (
-WITH RECURSIVE r(node, comp) AS (
-  SELECT node, node FROM nodes
-  UNION
-  SELECT e.dst, r.comp FROM r JOIN e ON e.src = r.node WHERE r.comp < e.dst)
-SELECT node, min(comp) AS comp FROM r GROUP BY node),
+$ccLblCte,
 re AS (SELECT node, comp FROM lbl WHERE node NOT LIKE 'v:%'),
 canon AS (SELECT comp, min(node) AS canonical FROM re GROUP BY comp)
 SELECT re.node AS surface, canon.canonical
@@ -415,16 +423,10 @@ FROM c GROUP BY 1""",
       """SELECT event_type, round(sum(value), 2) AS total_value,
 count(*) AS n_events FROM events GROUP BY 1""",
     "q08_connected_components" ->
-      """WITH raw AS (SELECT DISTINCT lpad(CAST(user_id AS VARCHAR), 19, '0') AS src,
-lpad(CAST(event_id % 50 AS VARCHAR), 19, '0') AS dst FROM events),
+      s"""WITH raw AS (SELECT DISTINCT lpad(CAST(user_id AS VARCHAR), 19, '0') AS src,
+lpad(CAST(((event_id % 50) + 50) % 50 AS VARCHAR), 19, '0') AS dst FROM events),
 e AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
-nodes AS (SELECT DISTINCT src AS node FROM e),
-lbl AS (
-WITH RECURSIVE r(node, comp) AS (
-  SELECT node, node FROM nodes
-  UNION
-  SELECT e.dst, r.comp FROM r JOIN e ON e.src = r.node WHERE r.comp < e.dst)
-SELECT node, min(comp) AS comp FROM r GROUP BY node)
+$ccLblCte
 SELECT node, comp FROM lbl""",
     "q30_asof_join" ->
       """WITH p AS (SELECT user_id, ts, round(max(value), 2) AS pv
@@ -542,13 +544,7 @@ prs AS (SELECT a.doc_id AS da, b.doc_id AS db
 raw AS (SELECT lpad(CAST(da AS VARCHAR), 19, '0') AS src,
                lpad(CAST(db AS VARCHAR), 19, '0') AS dst FROM prs),
 e AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
-nodes AS (SELECT DISTINCT src AS node FROM e),
-lbl AS (
-WITH RECURSIVE r(node, comp) AS (
-  SELECT node, node FROM nodes
-  UNION
-  SELECT e.dst, r.comp FROM r JOIN e ON e.src = r.node WHERE r.comp < e.dst)
-SELECT node, min(comp) AS comp FROM r GROUP BY node)
+$ccLblCte
 SELECT d.doc_id, COALESCE(CAST(l.comp AS BIGINT), d.doc_id) AS cluster_id
 FROM documents d LEFT JOIN lbl l ON lpad(CAST(d.doc_id AS VARCHAR), 19, '0') = l.node""",
     "q27_simhash_neardup" ->

@@ -128,7 +128,7 @@ object Tokenize {
       text = applyAll(text, ENDING_QUOTES)
     }
     if (text.indexOf('\'') >= 0 || {
-          val lower = text.toLowerCase
+          val lower = text.toLowerCase(java.util.Locale.ROOT)
           WordContractionTriggers.exists(lower.contains)
         }) {
       CONTRACTIONS2.foreach(p => text = p.matcher(text).replaceAll(" $1 $2 "))
@@ -177,7 +177,7 @@ object Tokenize {
               // word before the period
               var w = i - 1
               while (w >= 0 && !Character.isWhitespace(text.charAt(w))) w -= 1
-              val word = text.substring(w + 1, i).toLowerCase
+              val word = text.substring(w + 1, i).toLowerCase(java.util.Locale.ROOT)
               val isAbbrev = Abbrevs.contains(word) ||
                 (word.length == 1 && word.headOption.exists(_.isLetter)) ||
                 word.exists(_ == '.') // internal periods: "i.v", "u.s"

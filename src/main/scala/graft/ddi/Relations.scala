@@ -57,14 +57,14 @@ object Relations {
     // memorization, devel F1 0.384 -> 0.362); unigram windows + the
     // structural cues below are the best deterministic set found
     val b = Vector.newBuilder[String]
-    mid.foreach(t => b += ("mid=" + t.form.toLowerCase))
-    before.foreach(t => b += ("bef=" + t.form.toLowerCase))
-    after.foreach(t => b += ("aft=" + t.form.toLowerCase))
+    mid.foreach(t => b += ("mid=" + t.form.toLowerCase(java.util.Locale.ROOT)))
+    before.foreach(t => b += ("bef=" + t.form.toLowerCase(java.util.Locale.ROOT)))
+    after.foreach(t => b += ("aft=" + t.form.toLowerCase(java.util.Locale.ROOT)))
     b += ("ndist=" + distBucket(mid.length))
     b += ("e1t=" + lo.etype)
     b += ("e2t=" + hi.etype)
     // negation between the entities flips/voids most interaction cues
-    if (mid.exists(t => NegCues.contains(t.form.toLowerCase))) b += "neg=1"
+    if (mid.exists(t => NegCues.contains(t.form.toLowerCase(java.util.Locale.ROOT)))) b += "neg=1"
     // other annotated entities strictly between the pair — enumeration
     // sentences ("A, B, C and D were given") produce many false pairs
     val nBetween = otherEnts.count(o =>

@@ -25,7 +25,7 @@ object Canonicalize {
     * toward a canonical spelling; all are deterministic string rewrites.
     */
   def variants(surface: String): Seq[String] = {
-    val lc = surface.toLowerCase.trim
+    val lc = surface.toLowerCase(java.util.Locale.ROOT).trim
     val noParen = lc.replaceAll("\\s*\\([^)]*\\)", "").trim
     val base = if (noParen.nonEmpty) noParen else lc
     val squashed = base.replaceAll("[^a-z0-9]+", " ").trim.replaceAll("\\s+", " ")
@@ -153,7 +153,7 @@ object Canonicalize {
     import spark.implicits._
     val surf = surfaces.distinct().cache()
     val edges = surf.flatMap { s =>
-      val lc = s.toLowerCase.trim
+      val lc = s.toLowerCase(java.util.Locale.ROOT).trim
       variants(s).map(v => (lc, "v:" + v)) :+ ((lc, lc))
     }
     val cc = connectedComponents(spark, edges)

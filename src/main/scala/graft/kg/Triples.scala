@@ -43,7 +43,7 @@ object Triples {
     val entText = sents.flatMap { s =>
       val canon = canonB.value
       s.entities.map { e =>
-        val lc = e.text.toLowerCase.trim
+        val lc = e.text.toLowerCase(java.util.Locale.ROOT).trim
         (s.sid, e.entityId, canon.getOrElse(lc, lc), s.repo)
       }
     }.toDF("sid", "eid", "etext", "repo")

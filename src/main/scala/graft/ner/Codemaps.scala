@@ -48,7 +48,7 @@ final case class Codemaps(
   def encodeWords(forms: Seq[String]): Array[Int] = {
     val out = Array.fill(maxlen)(0) // PAD
     forms.take(maxlen).zipWithIndex.foreach { case (f, i) =>
-      out(i) = wordIndex.getOrElse(f.toLowerCase, 1) // UNK
+      out(i) = wordIndex.getOrElse(f.toLowerCase(java.util.Locale.ROOT), 1) // UNK
     }
     out
   }
@@ -67,7 +67,7 @@ object Codemaps {
   ): Codemaps = {
     import spark.implicits._
     val toks = sents
-      .flatMap(s => Tokenize.tokenize(s.text).map(_.form.toLowerCase))
+      .flatMap(s => Tokenize.tokenize(s.text).map(_.form.toLowerCase(java.util.Locale.ROOT)))
       .cache()
     val words = toks.distinct().collect().sorted
     val sufs = toks.map(w => w.takeRight(suflen)).distinct().collect().sorted

@@ -193,7 +193,7 @@ final class GazetteerScorer(gaz: Map[String, String], maxN: Int)
     val tags = Array.fill(n)("O")
     val lc = new Array[String](n)
     var i = 0
-    while (i < n) { lc(i) = toks(i).form.toLowerCase; i += 1 }
+    while (i < n) { lc(i) = toks(i).form.toLowerCase(java.util.Locale.ROOT); i += 1 }
     i = 0
     while (i < n) {
       if (firstWords.contains(lc(i))) {
@@ -278,7 +278,7 @@ object MentionScorer {
       gazMaxN: => Int,
       mnb: => MnbParams,
       crf: => Crf.CrfParams = null
-  ): MentionScorer = name.toLowerCase match {
+  ): MentionScorer = name.toLowerCase(java.util.Locale.ROOT) match {
     case "custom" | "all_o"              => AllOScorer
     case "gazetteer" | "gaz"             => new GazetteerScorer(gaz, gazMaxN)
     case "mnb" | "multinomial_nb"        => new MnbScorer(mnb)

@@ -114,7 +114,7 @@ object Train {
   ): (Map[String, String], Int) = {
     import spark.implicits._
     val surfaces = sents
-      .flatMap(s => s.entities.map(e => (e.text.toLowerCase, e.etype)))
+      .flatMap(s => s.entities.map(e => (e.text.toLowerCase(java.util.Locale.ROOT), e.etype)))
       .toDF("surface", "etype")
       .groupBy($"surface", $"etype")
       .agg(count(lit(1)).as("c"))

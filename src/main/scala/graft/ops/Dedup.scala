@@ -260,9 +260,13 @@ object Dedup {
       .select(
         col("doc_a"),
         col("doc_b"),
+        // null (not an ANSI 0/0 crash) when BOTH docs are shorter than
+        // k tokens — empty shingle union; the DuckDB twin yields NULL
         round(
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))),
+          when(size(array_union(col("sh_a"), col("sh_b"))) === 0, lit(null).cast("double"))
+            .otherwise(
+              size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+                size(array_union(col("sh_a"), col("sh_b")))),
           4
         ).as("jaccard")
       )

@@ -65,9 +65,12 @@ object TextOps {
         size(filter(toks, t => t.isin("the", "a", "of", "and"))).cast("double") / nTok,
         4
       ).as("stopword_ratio"),
+      // null (not a crash) for empty text: ANSI mode throws on 0/0,
+      // while the DuckDB twin yields NULL — match the twin
       round(
-        length(regexp_replace(col("text"), "[a-z ]", "")).cast("double") /
-          length(col("text")),
+        when(length(col("text")) === 0, lit(null).cast("double")).otherwise(
+          length(regexp_replace(col("text"), "[a-z ]", "")).cast("double") /
+            length(col("text"))),
         4
       ).as("nonalpha_ratio"),
       round(size(array_distinct(toks)).cast("double") / nTok, 4).as("distinct_ratio")

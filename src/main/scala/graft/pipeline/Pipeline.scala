@@ -251,7 +251,7 @@ object Pipeline {
           } yield Relation(s.sid, p.e1, p.e2, dtype)
         }
         def canonOf(t: String): String = {
-          val lc = t.toLowerCase.trim
+          val lc = t.toLowerCase(java.util.Locale.ROOT).trim
           m.canon.getOrElse(lc, lc)
         }
         val trips = rels.map { r =>
