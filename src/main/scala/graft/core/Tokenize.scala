@@ -19,6 +19,12 @@ import scala.collection.mutable.ArrayBuffer
   *     and the cursor moves to `-1 + len(tok)` (W3, SURVEY §2.5).
   *   - end offsets are INCLUSIVE: `end = start + len - 1`.
   *   - the scan never resets: after a miss the cursor can move backwards.
+  *
+  * Known limitation (documented, not fixed): offsets are UTF-16 code
+  * units (Java String indexing) while Python's `str.find` counts code
+  * points — they diverge only for astral (non-BMP) characters, which the
+  * DDI corpus does not contain. A corpus with emoji/astral chars would
+  * shift offsets after each such char relative to the reference.
   */
 object Tokenize {
 
@@ -29,12 +35,19 @@ object Tokenize {
 
   private def P(p: String) = Pattern.compile(p)
 
+  /** Unicode-aware compile for rules using \w or \b on letters: Python's
+    * `re` (which NLTK uses) treats those as Unicode by default, while
+    * Java defaults to ASCII — without this flag, accented words
+    * (l'époque, Behçet) split differently than the reference.
+    */
+  private def PU(p: String) = Pattern.compile(p, Pattern.UNICODE_CHARACTER_CLASS)
+
   private val STARTING_QUOTES: Seq[(Pattern, String)] = Seq(
     P("([«“‘„]|[`]+)") -> " $1 ",
     P("^\"") -> "``",
     P("(``)") -> " $1 ",
     P("([ \\(\\[{<])(\"|'{2})") -> "$1 `` ",
-    P("(?i)(')(?!re|ve|ll|m|t|s|d|n)(\\w)\\b") -> "$1 $2"
+    PU("(?i)(')(?!re|ve|ll|m|t|s|d|n)(\\w)\\b") -> "$1 $2"
   )
 
   /** (pattern, replacement, trigger chars): the rule is skipped when the
@@ -69,19 +82,19 @@ object Tokenize {
   )
 
   private val CONTRACTIONS2: Seq[Pattern] = Seq(
-    P("(?i)\\b(can)(not)\\b"),
-    P("(?i)\\b(d)('ye)\\b"),
-    P("(?i)\\b(gim)(me)\\b"),
-    P("(?i)\\b(gon)(na)\\b"),
-    P("(?i)\\b(got)(ta)\\b"),
-    P("(?i)\\b(lem)(me)\\b"),
-    P("(?i)\\b(mor)('n)\\b"),
-    P("(?i)\\b(wan)(na)(?=\\s)")
+    PU("(?i)\\b(can)(not)\\b"),
+    PU("(?i)\\b(d)('ye)\\b"),
+    PU("(?i)\\b(gim)(me)\\b"),
+    PU("(?i)\\b(gon)(na)\\b"),
+    PU("(?i)\\b(got)(ta)\\b"),
+    PU("(?i)\\b(lem)(me)\\b"),
+    PU("(?i)\\b(mor)('n)\\b"),
+    PU("(?i)\\b(wan)(na)(?=\\s)")
   )
 
   private val CONTRACTIONS3: Seq[Pattern] = Seq(
-    P("(?i) ('t)(is)\\b"),
-    P("(?i) ('t)(was)\\b")
+    PU("(?i) ('t)(is)\\b"),
+    PU("(?i) ('t)(was)\\b")
   )
 
   private def applyAll(text0: String, rules: Seq[(Pattern, String)]): String = {

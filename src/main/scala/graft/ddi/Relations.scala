@@ -97,7 +97,10 @@ object Relations {
             p.e1,
             p.e2,
             pairFeatures(toks, e1, e2, s.entities),
-            p.dtype.getOrElse(if (p.ddi) "int" else "none")
+            // typeless ddi="true" (0 in the reference corpus, legal in
+            // the schema) trains toward "" — the SAME label goldDdi keys
+            // such a pair with, so prediction and gold can actually meet
+            p.dtype.getOrElse(if (p.ddi) "" else "none")
           )
         }
       }
@@ -129,11 +132,11 @@ object Relations {
     import spark.implicits._
     examples(spark, sents)
       .map { e =>
-        val feats = e.feats.map { f =>
-          val i = f.indexOf('=')
-          (f.substring(0, i), f.substring(i + 1))
-        }
-        Relation(e.sid, e.e1, e.e2, params.value.predictWithMargin(feats, "none", margin))
+        // raw-feature hot path: pairFeatures emits the exact "k=v"
+        // strings the model was trained on (no BoS/EoS expansion needed)
+        // — the split-then-reconcat round trip was pure allocation
+        Relation(e.sid, e.e1, e.e2,
+          params.value.predictWithMarginRaw(e.feats, "none", margin))
       }
       .filter(_.dtype != "none")
   }

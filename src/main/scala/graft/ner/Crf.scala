@@ -280,7 +280,7 @@ object Crf {
   *
   * Ablation tried and NOT adopted (DebugCrf, reference corpus): merging
   * the gazetteer over the CRF HybridScorer-style trades P for R — devel
-  * typed F1 drops 79.0 → 78.0 (test ties at 79.6). The CRF already
+  * typed F1 drops 78.9 → 78.0 (test: 79.5 vs 79.6 — within noise). The CRF already
   * memorizes training surfaces via its `form=` state features, so the
   * gazetteer only adds its false positives. Don't retry.
   */

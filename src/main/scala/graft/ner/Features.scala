@@ -66,7 +66,8 @@ object Features {
   /** The MNB feature-dict view (ml/src/models/multinomial_nb.py:61-73):
     * `key=value` features keep the LAST value per key (dict overwrite);
     * `BoS` expands to formPrev=BoS + suf3Prev=BoS, `EoS` likewise.
-    * Returned as sorted (key, value) pairs for deterministic iteration.
+    * Returned in INSERTION order (= extractFeatures' emission order) —
+    * deterministic, but NOT sorted by key.
     */
   def toDict(features: Seq[String]): Vector[(String, String)] = {
     val m = scala.collection.mutable.LinkedHashMap.empty[String, String]

@@ -25,13 +25,40 @@ object ModelStore {
 
   private def fmtD(d: Double): String = java.lang.Double.toString(d)
 
+  /** Record framing is tab/newline-based, but surfaces and feature
+    * strings come from UNTRUSTED document text (XML attributes may
+    * legally encode tabs/newlines) — escape them so every entry
+    * round-trips instead of silently corrupting the record grid.
+    */
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n").replace("\r", "\\r")
+
+  private def unesc(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => b += '\\'
+          case 't'  => b += '\t'
+          case 'n'  => b += '\n'
+          case 'r'  => b += '\r'
+          case o    => b += '\\'; b += o
+        }
+        i += 2
+      } else { b += c; i += 1 }
+    }
+    b.result()
+  }
+
   def saveMnb(params: MnbParams, path: String): Unit = {
     val sb = new StringBuilder
     sb ++= s"MNB\tCLASSES\t${params.classes.mkString(",")}\n"
     sb ++= s"MNB\tPRIOR\t${params.logPrior.map(fmtD).mkString(",")}\n"
     sb ++= s"MNB\tDEFAULT\t${params.defaultLog.map(fmtD).mkString(",")}\n"
     params.featLogProb.toSeq.sortBy(_._1).foreach { case (f, lp) =>
-      sb ++= s"MNB\tFEAT\t$f\t${lp.map(fmtD).mkString(",")}\n"
+      sb ++= s"MNB\tFEAT\t${esc(f)}\t${lp.map(fmtD).mkString(",")}\n"
     }
     Files.write(Paths.get(path), sb.result().getBytes("UTF-8"))
   }
@@ -46,7 +73,7 @@ object ModelStore {
         case Array("MNB", "CLASSES", v)  => classes = v.split(",", -1)
         case Array("MNB", "PRIOR", v)    => prior = v.split(",", -1).map(_.toDouble)
         case Array("MNB", "DEFAULT", v)  => default = v.split(",", -1).map(_.toDouble)
-        case Array("MNB", "FEAT", f, v)  => feats += (f -> v.split(",", -1).map(_.toDouble))
+        case Array("MNB", "FEAT", f, v)  => feats += (unesc(f) -> v.split(",", -1).map(_.toDouble))
         case _                           =>
       }
     }
@@ -55,14 +82,14 @@ object ModelStore {
 
   def saveGazetteer(gaz: Map[String, String], path: String): Unit = {
     val sb = new StringBuilder
-    gaz.toSeq.sorted.foreach { case (s, t) => sb ++= s"GAZ\t$s\t$t\n" }
+    gaz.toSeq.sorted.foreach { case (s, t) => sb ++= s"GAZ\t${esc(s)}\t${esc(t)}\n" }
     Files.write(Paths.get(path), sb.result().getBytes("UTF-8"))
   }
 
   def loadGazetteer(path: String): Map[String, String] =
     Files.readAllLines(Paths.get(path)).asScala.flatMap { line =>
       line.split("\t", -1) match {
-        case Array("GAZ", s, t) => Some(s -> t)
+        case Array("GAZ", s, t) => Some(unesc(s) -> unesc(t))
         case _                  => None
       }
     }.toMap

@@ -29,7 +29,11 @@ object Train {
   ): MnbParams = {
     import spark.implicits._
 
-    val pairs = examples
+    // two actions (feature counts + class counts) read `examples`; the
+    // checkpoint stops the upstream tokenize/featurize lineage running
+    // twice per fit (tokenization is ~half the pass cost)
+    val ex = examples.localCheckpoint()
+    val pairs = ex
       .flatMap { case (fs, label) => fs.map(f => (f, label)) }
       .toDF("feat", "tag")
 
@@ -44,7 +48,7 @@ object Train {
       .filter($"featTotal" >= minFreq)
       .collect()
 
-    val classCounts = examples
+    val classCounts = ex
       .map(_._2)
       .toDF("tag")
       .groupBy($"tag")
@@ -133,21 +137,42 @@ object Train {
     (gaz, maxN)
   }
 
+  /** Per-sentence ordered token streams: (sid, [(features, tag)...] in
+    * TOKEN order). Ordering must happen at sentence granularity — sids
+    * are unique, while no FeatureRow-level sort key is total (quote
+    * tokens all carry start = -1 after the W3 offset quirk, so a
+    * (sid, start) sort both scrambles their relative order run-to-run
+    * and hoists them out of sentence position).
+    */
+  private def sentStreams(
+      spark: SparkSession,
+      sents: Dataset[ParsedSentence]
+  ): Dataset[(String, Seq[(Seq[String], String)])] = {
+    import spark.implicits._
+    sents.map { s =>
+      val toks = graft.core.Tokenize.tokenize(s.text)
+      val feats = Features.extractFeatures(toks)
+      (s.sid, toks.indices.map(i =>
+        (feats(i): Seq[String], Features.getTag(toks(i), s.entities))): Seq[(Seq[String], String)])
+    }
+  }
+
   /** CRF fit (reference A6): collect the training token stream in
-    * deterministic (sid, start) order — bounded by the TRAINING corpus,
-    * never the scoring corpus — and run the driver-side l2sgd fit with
-    * the reference's 100-token pseudo-sequence chunking (CRF.py:28-29).
+    * deterministic sentence order (unique sids; tokens stay in sentence
+    * position) — bounded by the TRAINING corpus, never the scoring
+    * corpus — and run the driver-side l2sgd fit with the reference's
+    * 100-token pseudo-sequence chunking (CRF.py:28-29).
     */
   def fitCrf(
       spark: SparkSession,
-      rows: Dataset[FeatureRow],
+      sents: Dataset[ParsedSentence],
       c2: Double = 0.1,
       epochs: Int = 30
   ): Crf.CrfParams = {
-    val stream = rows
-      .orderBy(col("sid"), col("start"))
+    val stream = sentStreams(spark, sents)
       .collect()
-      .map(r => (r.features, r.tag))
+      .sortBy(_._1)
+      .flatMap(_._2)
       .toSeq
     Crf.fitTokenStream(stream, c2, epochs)
   }
@@ -165,18 +190,18 @@ object Train {
     */
   def fitCrfDistributed(
       spark: SparkSession,
-      rows: Dataset[FeatureRow],
+      sents: Dataset[ParsedSentence],
       c2: Double = 0.1,
       epochs: Int = 30,
       parts: Int = 8
   ): Crf.CrfParams = {
     implicit val enc: org.apache.spark.sql.Encoder[Crf.CrfParams] =
       org.apache.spark.sql.Encoders.kryo[Crf.CrfParams]
-    val locals = rows
-      .repartitionByRange(parts, col("sid"))
-      .sortWithinPartitions(col("sid"), col("start"))
+    val locals = sentStreams(spark, sents)
+      .repartitionByRange(parts, col("_1"))
+      .sortWithinPartitions(col("_1"))
       .mapPartitions { it =>
-        val stream = it.map(r => (r.features, r.tag)).toVector
+        val stream = it.flatMap(_._2).toVector
         if (stream.isEmpty) Iterator.empty
         else Iterator.single(Crf.fitTokenStream(stream, c2, epochs))
       }

@@ -192,7 +192,7 @@ object Pipeline {
     import spark.implicits._
     val (gaz, gazN) = Train.buildGazetteer(spark, train)
     lazy val nerParams = Train.fitMnb(spark, featureRows(spark, train), mnbMinFreq)
-    lazy val crfParams = Train.fitCrf(spark, featureRows(spark, train))
+    lazy val crfParams = Train.fitCrf(spark, train)
     val scorer = MentionScorer.resolve(scorerName, gaz, gazN, nerParams, crfParams)
     val ddiParams = Relations.fit(spark, train, mnbMinFreq)
     val canon = Canonicalize
@@ -242,11 +242,8 @@ object Pipeline {
           for {
             e1 <- byId.get(p.e1)
             e2 <- byId.get(p.e2)
-            feats = Relations.pairFeatures(toks, e1, e2, s.entities).map { f =>
-              val i = f.indexOf('=')
-              (f.substring(0, i), f.substring(i + 1))
-            }
-            dtype = m.ddi.predictWithMargin(feats, "none", Relations.DefaultMargin)
+            feats = Relations.pairFeatures(toks, e1, e2, s.entities)
+            dtype = m.ddi.predictWithMarginRaw(feats, "none", Relations.DefaultMargin)
             if dtype != "none"
           } yield Relation(s.sid, p.e1, p.e2, dtype)
         }

@@ -33,10 +33,10 @@ object DebugCrf {
     val (gazMap, gazN) = Train.buildGazetteer(spark, train)
     for (epochs <- args.headOption.map(e => Seq(e.toInt)).getOrElse(Seq(10, 30))) {
       val t0 = System.nanoTime()
-      val params = Train.fitCrf(spark, Pipeline.featureRows(spark, train), epochs = epochs)
+      val params = Train.fitCrf(spark, train, epochs = epochs)
       val fitSec = (System.nanoTime() - t0) / 1e9
       val distParams = Train.fitCrfDistributed(
-        spark, Pipeline.featureRows(spark, train), epochs = epochs, parts = 8)
+        spark, train, epochs = epochs, parts = 8)
       for (variant <- Seq("crf", "gaz+crf", "crf_dist8")) {
       val crf: MentionScorer = new CrfScorer(params)
       val scorer: MentionScorer = variant match {

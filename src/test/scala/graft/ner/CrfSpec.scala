@@ -57,18 +57,20 @@ class CrfSpec extends AnyFunSuite {
 
     val spark = graft.TestSpark.spark
     import spark.implicits._
-    // the transition-disambiguation task, replicated across many sids so
-    // both range partitions get full copies of the pattern
-    val rows = (0 until 40).flatMap { d =>
-      Seq(
-        graft.core.FeatureRow(f"s$d%03d", "a", 0, 0, "B-drug", Seq("f=a")),
-        graft.core.FeatureRow(f"s$d%03d", "b", 1, 1, "I-drug", Seq("f=b")),
-        graft.core.FeatureRow(f"s$d%03d", "c", 2, 2, "O", Seq("f=c")),
-        graft.core.FeatureRow(f"s$d%03d", "b", 3, 3, "O", Seq("f=b")))
+    // the tagging task replicated across many sids so both range
+    // partitions get full copies of the pattern; sentence "aa bb cc bb"
+    // with gold span over "aa bb" -> tags B-drug I-drug O O
+    val sents = (0 until 40).map { d =>
+      graft.core.ParsedSentence("r", s"d$d", f"s$d%03d", "aa bb cc bb",
+        Seq(graft.core.GoldSpan("e0", 0, 4, "drug", "aa bb", "0-4")), Nil)
     }
-    val dist = Train.fitCrfDistributed(spark, spark.createDataset(rows), epochs = 30, parts = 2)
-    assert(Crf.viterbi(dist, IndexedSeq(Seq("f=a"), Seq("f=b"))) == IndexedSeq("B-drug", "I-drug"))
-    assert(Crf.viterbi(dist, IndexedSeq(Seq("f=c"), Seq("f=b"))) == IndexedSeq("O", "O"))
+    val dist = Train.fitCrfDistributed(spark, spark.createDataset(sents), epochs = 30, parts = 2)
+    val toks = graft.core.Tokenize.tokenize("aa bb cc bb")
+    val tags = Crf.viterbi(dist, Features.extractFeatures(toks))
+    assert(tags == IndexedSeq("B-drug", "I-drug", "O", "O"), s"got $tags")
+    // and it matches the driver-side fit on the same input
+    val local = Train.fitCrf(spark, spark.createDataset(sents), epochs = 30)
+    assert(Crf.viterbi(local, Features.extractFeatures(toks)) == tags)
   }
 
   test("CrfScorer resolves via the registry and tags a real tokenized sentence") {
@@ -86,7 +88,7 @@ class CrfSpec extends AnyFunSuite {
           graft.core.GoldSpan("e1", 24, 30, "drug", "aspirin", "24-30")),
         Nil)
     ))
-    val params = Train.fitCrf(spark, graft.pipeline.Pipeline.featureRows(spark, sents), epochs = 40)
+    val params = Train.fitCrf(spark, sents, epochs = 40)
     val scorer = MentionScorer.resolve("crf", Map.empty, 1, null, params)
     val toks = graft.core.Tokenize.tokenize("Warfarin interacts with aspirin.")
     val tags = scorer.tagSentence(toks)
