@@ -45,4 +45,16 @@ class ModelStoreSpec extends AnyFunSuite {
       ModelStore.load(bad)
     }
   }
+
+  test("surfaces with tabs/newlines/backslashes round-trip (untrusted XML text)") {
+    val dir = Files.createTempDirectory("ms")
+    val gp = dir.resolve("weird.gaz").toString
+    val gaz = Map(
+      "tab\there" -> "drug",
+      "new\nline" -> "group",
+      "back\\slash" -> "brand",
+      "plain" -> "drug_n")
+    ModelStore.saveGazetteer(gaz, gp)
+    assert(ModelStore.loadGazetteer(gp) == gaz)
+  }
 }
