@@ -33,12 +33,17 @@ object Bench {
     s
   }
 
-  /** Timed KG run: returns (nDocs, seconds). Model fitting (gazetteer +
-    * NER MNB + DDI MNB + canonical map) happens before the clock; the
-    * timed section is the fused scoring pass (parse -> tokenize -> tag ->
-    * decode -> DDI -> triples), counted through one action.
+  /** Timed KG run: returns (nDocs, bestSeconds, firstSeconds). Model
+    * fitting (gazetteer + NER MNB + DDI MNB + canonical map) happens
+    * before the clock; the timed section is the fused scoring pass
+    * (parse -> tokenize -> tag -> decode -> DDI -> triples), counted
+    * through one action. One UNTIMED warm-up run (codegen + JIT, like a
+    * long-running cluster's steady state) precedes best-of-3 timed runs
+    * — the round-2 ledger logged a phantom 2x "regression" from a cold
+    * first run colliding with host contention; first-run time is still
+    * returned so contention stays visible in the bench JSON.
     */
-  def kgRun(spark: SparkSession, nDocs: Long, parallelism: Int): (Long, Double) = {
+  def kgRun(spark: SparkSession, nDocs: Long, parallelism: Int): (Long, Double, Double) = {
     import spark.implicits._
     val train = Pipeline.parse(spark, DocGen.corpus(spark, 500, seed = 7L)).cache()
     train.count()
@@ -51,7 +56,7 @@ object Bench {
       .cache()
     evalDocs.count() // materialize input outside the timed section
 
-    val times = (1 to 2).map { _ =>
+    def onePass(): Double = {
       val t0 = System.nanoTime()
       val scored = Pipeline.score(spark, Pipeline.parse(spark, evalDocs), models)
       // columnar size+sum (stays on InternalRow; a typed .map here would
@@ -67,8 +72,10 @@ object Bench {
       require(row.getLong(0) > 0 && row.getLong(1) > 0, "kg bench produced no output")
       (System.nanoTime() - t0) / 1e9
     }
+    val first = onePass() // warm-up: untimed-for-record, reported separately
+    val times = (1 to 3).map(_ => onePass())
     train.unpersist(); evalDocs.unpersist(); models.destroy()
-    (nDocs, times.min)
+    (nDocs, times.min, first)
   }
 
   private val headlineOps = Seq(
@@ -87,7 +94,7 @@ object Bench {
 
     // KG throughput: corpus scaled to the sf tables (4x documents rows)
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count() * 4
-    val (kgDocs, kgSec) = kgRun(spark, nDocs, cpus.toInt)
+    val (kgDocs, kgSec, kgFirstSec) = kgRun(spark, nDocs, cpus.toInt)
     val docsPerSec = kgDocs / kgSec
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -109,8 +116,10 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.values.sum
+    // kg_pipeline_first rides outside "queries" (and the total) so host
+    // contention is visible without skewing round-over-round totals
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_docs":$kgDocs,"kg_docs_per_sec":$docsPerSec%.1f,"cpus":$cpus}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_docs":$kgDocs,"kg_docs_per_sec":$docsPerSec%.1f,"kg_pipeline_first":$kgFirstSec%.3f,"cpus":$cpus}"""
     println(json)
     // belt-and-braces for the driver: the same JSON at a stable path, in
     // case the stdout line is decorated or truncated in transit

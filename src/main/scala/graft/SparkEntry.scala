@@ -79,6 +79,16 @@ object SparkEntry {
       val (ms, _, _) = Pipeline.run(s, train, ev, "hybrid")
       s.createDataset(Pipeline.evaluateNER(s, ev, ms)).toDF().orderBy("kind")
     }),
+    // same eval math over the CRF scorer's mentions: its oracle replays
+    // Evaluator in SQL with the pred side swapped to the kg_mentions_crf
+    // dump — promoting the CRF path from rows-only to transitively
+    // hash-verified (a wrong CRF mention dump hash-mismatches this)
+    "kg_eval_ner_crf" -> ((s, _) => {
+      import s.implicits._
+      val (train, ev) = kgCorpus(s, 200)
+      val (ms, _, _) = Pipeline.run(s, train, ev, "crf")
+      s.createDataset(Pipeline.evaluateNER(s, ev, ms)).toDF().orderBy("kind")
+    }),
     "kg_eval_ddi" -> ((s, _) => {
       import s.implicits._
       val (train, ev) = kgCorpus(s, 200)
@@ -341,6 +351,9 @@ SELECT node, min(comp) AS comp FROM r GROUP BY node)"""
     "kg_eval_ner" -> evalOracle(
       s"sid || '|' || raw_offset || '|' || text AS einfo, etype FROM ${dump("kg_gold_spans")}",
       s"""sid || '|' || "start" || '-' || "end" || '|' || text AS einfo, etype FROM ${dump("kg_mentions")}"""),
+    "kg_eval_ner_crf" -> evalOracle(
+      s"sid || '|' || raw_offset || '|' || text AS einfo, etype FROM ${dump("kg_gold_spans")}",
+      s"""sid || '|' || "start" || '-' || "end" || '|' || text AS einfo, etype FROM ${dump("kg_mentions_crf")}"""),
     "kg_eval_ddi" -> evalOracle(
       s"sid || '|' || e1 || '|' || e2 AS einfo, dtype AS etype FROM ${dump("kg_gold_pairs")}",
       s"sid || '|' || e1 || '|' || e2 AS einfo, interactionPred AS etype FROM ${dump("kg_triples")}"),

@@ -38,6 +38,21 @@ object Resume {
   private def dec(name: String): String =
     java.net.URLDecoder.decode(name, "UTF-8")
 
+  /** JSON string escape for manifest bodies. Resume itself keys off the
+    * (URL-encoded) file NAMES, but a repo id holding a quote, backslash,
+    * or control char would otherwise make the manifest CONTENT invalid
+    * JSON for any driver that parses it.
+    */
+  private def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'          => "\\\""
+    case '\\'         => "\\\\"
+    case '\n'         => "\\n"
+    case '\r'         => "\\r"
+    case '\t'         => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c            => c.toString
+  } + "\""
+
   def committedRepos(table: String): Set[String] = {
     val dir = manifestDir(table)
     if (!Files.isDirectory(dir)) Set.empty
@@ -111,7 +126,7 @@ object Resume {
     counters.toSeq.map { case (repo, rows, distinctSubj) =>
       val commit = Commit(repo, rows, distinctSubj, java.time.Instant.now().toString)
       val json =
-        s"""{"repo":"${commit.repo}","rows":${commit.rows},"distinct_subj":${commit.distinctSubj},"ts":"${commit.ts}"}"""
+        s"""{"repo":${jsonStr(commit.repo)},"rows":${commit.rows},"distinct_subj":${commit.distinctSubj},"ts":${jsonStr(commit.ts)}}"""
       val tmp = manifestDir(table).resolve(s".${enc(repo)}.json.tmp")
       Files.write(tmp, json.getBytes("UTF-8"))
       Files.move(tmp, manifestDir(table).resolve(s"${enc(repo)}.json"),

@@ -52,6 +52,9 @@ object Crf {
       c2: Double = 0.1,
       epochs: Int = 30
   ): CrfParams = {
+    // c2 = 0 makes lambda = 0, so the 1/(lambda*(t0+t)) step size is NaN
+    // and every weight silently becomes NaN — fail loudly instead
+    require(c2 > 0.0, s"c2 must be > 0 (l2sgd step size is 1/(lambda*t)); got $c2")
     val labels = seqs.flatMap(_._2).distinct.sorted.toArray
     val labIdx = labels.zipWithIndex.toMap
     val nLab = labels.length

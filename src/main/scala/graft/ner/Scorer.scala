@@ -101,13 +101,18 @@ final case class MnbParams(
     if (classes.isEmpty) return reject
     val s = scoresRaw(feats)
     val rejIdx = classes.indexOf(reject)
-    if (rejIdx < 0) return predict(Features.toDict(feats))
     var best = -1
     var i = 0
     while (i < s.length) {
       if (i != rejIdx && (best < 0 || s(i) > s(best))) best = i
       i += 1
     }
+    // reject class absent from training (degenerate corpus with no
+    // 'none' examples): plain argmax over the SAME raw-string scores —
+    // routing through the dict view would collapse duplicate keys
+    // (mid=/bef=/aft= keep only the last token) and diverge from the
+    // representation the model was trained on
+    if (rejIdx < 0) return classes(best)
     if (best >= 0 && s(best) - s(rejIdx) > margin) classes(best) else reject
   }
 

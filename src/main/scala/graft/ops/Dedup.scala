@@ -22,6 +22,33 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Buckets larger than this fall back to star-shaped pair generation
+    * (see [[lshCandidates]]). Default is far above any honest LSH/simhash
+    * bucket (sf0.1 max observed: <100) but bounds the damage of a
+    * pathological corpus — e.g. 10^7 byte-identical docs when exact
+    * dedup wasn't run first — to O(bucket) instead of O(bucket²).
+    */
+  val DefaultMaxBucket = 4096
+
+  /** Mega-bucket counters (named LongAccumulators, one per op call —
+    * visible in the Spark UI; the registry keeps the latest per op name
+    * so specs and operators can assert on degradation).
+    */
+  private val megaCounters =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.util.LongAccumulator]()
+  private def megaCounter(spark: org.apache.spark.sql.SparkSession, op: String) = {
+    val acc = spark.sparkContext.longAccumulator(s"graft.dedup.megaBuckets.$op")
+    megaCounters.put(op, acc)
+    acc
+  }
+
+  /** Mega-buckets hit by the LAST call of `op` ("lsh" | "simhash") in
+    * this JVM, counted once the returned frame has been materialized.
+    * 0 = no degradation: the result is exact.
+    */
+  def megaBucketCount(op: String): Long =
+    Option(megaCounters.get(op)).map(_.value.longValue).getOrElse(0L)
+
   /** Exact duplicate groups: digest → group size + representative
     * (min doc_id). `keep_id` is the survivor a dedup pass would keep.
     */
@@ -134,10 +161,27 @@ object Dedup {
     * buckets are small by construction; run exact dedup (q14) first on
     * duplicate-heavy corpora so identical texts don't form one giant
     * bucket).
+    *
+    * Mega-bucket guard: a bucket larger than `maxBucket` (a pathological
+    * corpus — the "run exact dedup first" advice ignored) degrades
+    * PREDICTABLY to star-shaped pairs (every member paired with the
+    * bucket's min doc_id): O(bucket) output instead of O(bucket²), so
+    * one degenerate signature cannot OOM a task or emit 10^13 rows.
+    * Stars preserve connected-components exactly — [[nearDupClusters]]
+    * is unchanged — while per-pair listings lose only the intra-bucket
+    * non-hub pairs; each degradation increments the
+    * `graft.dedup.megaBuckets.lsh` accumulator ([[megaBucketCount]]).
     */
-  def lshCandidates(docs: DataFrame, bands: Int = 8, k: Int = 3, fast: Boolean = false): DataFrame = {
+  def lshCandidates(
+      docs: DataFrame,
+      bands: Int = 8,
+      k: Int = 3,
+      fast: Boolean = false,
+      maxBucket: Int = DefaultMaxBucket
+  ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val mega = megaCounter(spark, "lsh")
     val sig =
       if (fast) minhashSignaturesFast(docs, bands, k)
       else minhashSignatures(docs, bands, k)
@@ -149,8 +193,13 @@ object Dedup {
       .as[Seq[Long]]
       .flatMap { ids =>
         val s = ids.sorted
-        for { i <- s.indices.iterator; j <- (i + 1 until s.length).iterator }
-          yield (s(i), s(j))
+        if (s.length > maxBucket) {
+          mega.add(1L)
+          val hub = s.head
+          s.iterator.drop(1).map(b => (hub, b))
+        } else
+          for { i <- s.indices.iterator; j <- (i + 1 until s.length).iterator }
+            yield (s(i), s(j))
       }
       .toDF("doc_a", "doc_b")
       .groupBy(col("doc_a"), col("doc_b"))
@@ -208,7 +257,12 @@ object Dedup {
     * stay tiny. (A 16-bit fingerprint was measured 12x slower at sf0.1:
     * 16 buckets/band turn the bucket join quadratic.)
     */
-  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3, bits: Int = 60): DataFrame = {
+  def simhashNearDup(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      bits: Int = 60,
+      maxBucket: Int = DefaultMaxBucket
+  ): DataFrame = {
     val bands = maxHamming + 1
     require(bits % bands == 0, s"bits=$bits must split into ${bands} equal bands")
     val w = bits / bands
@@ -217,6 +271,7 @@ object Dedup {
     // earlier banded self-join planned it once per side)
     val spark = docs.sparkSession
     import spark.implicits._
+    val mega = megaCounter(spark, "simhash")
     val sh = TextOps.simhash(docs, bits)
     val banded = sh.select(
       col("doc_id"),
@@ -238,12 +293,22 @@ object Dedup {
         // collisions fail the threshold, so the downstream dedup
         // shuffle only carries true near-dups
         val s = members.sortBy(_._1)
-        for {
-          i <- s.indices.iterator
-          j <- (i + 1 until s.length).iterator
-          h = java.lang.Long.bitCount(s(i)._2 ^ s(j)._2)
-          if h <= maxHamming
-        } yield (s(i)._1, s(j)._1, h)
+        if (s.length > maxBucket) {
+          // mega-bucket guard (see lshCandidates): star pairs against
+          // the min-id hub, O(bucket) instead of O(bucket²)
+          mega.add(1L)
+          val (hub, hubSh) = s.head
+          s.iterator.drop(1).flatMap { case (b, bSh) =>
+            val h = java.lang.Long.bitCount(hubSh ^ bSh)
+            if (h <= maxHamming) Iterator((hub, b, h)) else Iterator.empty
+          }
+        } else
+          for {
+            i <- s.indices.iterator
+            j <- (i + 1 until s.length).iterator
+            h = java.lang.Long.bitCount(s(i)._2 ^ s(j)._2)
+            if h <= maxHamming
+          } yield (s(i)._1, s(j)._1, h)
       }
       .toDF("doc_a", "doc_b", "hamming")
       .dropDuplicates("doc_a", "doc_b") // a pair can agree on several bands

@@ -87,6 +87,26 @@ class IoSpec extends AnyFunSuite {
     assert(Resume.writeResumable(spark, trips, table).isEmpty)
   }
 
+  test("resume: manifest BODY is valid JSON for repo ids with quotes/backslashes/control chars") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("kg").toString + "/triples"
+    val weird = Seq("""quo"ted""", """back\slash""", "tab\tchar")
+    val trips = spark.createDataset(
+      weird.flatMap(r => (1 to 2).map(i => Triple(s"d$i", "int", "o", s"s$i", "e1", "e2", r))))
+    val commits = Resume.writeResumable(spark, trips, table)
+    assert(commits.map(_.repo).sorted == weird.sorted)
+    // every manifest body must PARSE as JSON with the raw repo id inside
+    // (filenames are URL-encoded; the body used to interpolate raw)
+    val parsed = spark.read
+      .json(java.nio.file.Paths.get(table, "_graft_commits").toString + "/*.json")
+      .select("repo", "rows").as[(String, Long)].collect()
+    assert(parsed.map(_._1).sorted.toSeq == weird.sorted)
+    assert(parsed.forall(_._2 == 2L))
+    assert(spark.read.json(
+      java.nio.file.Paths.get(table, "_graft_commits").toString + "/*.json")
+      .columns.toSet.contains("_corrupt_record") == false, "manifest failed to parse as JSON")
+  }
+
   test("resume: orphan partition data without a manifest stays invisible, then heals") {
     import spark.implicits._
     val table = Files.createTempDirectory("kg").toString + "/triples"

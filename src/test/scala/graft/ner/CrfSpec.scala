@@ -73,6 +73,12 @@ class CrfSpec extends AnyFunSuite {
     assert(Crf.viterbi(local, Features.extractFeatures(toks)) == tags)
   }
 
+  test("fit rejects c2 <= 0 (step size would be NaN and weights silently NaN)") {
+    val seqs = IndexedSeq((IndexedSeq(Seq("f=x")), IndexedSeq("O")))
+    intercept[IllegalArgumentException](Crf.fit(seqs, c2 = 0.0))
+    intercept[IllegalArgumentException](Crf.fit(seqs, c2 = -1.0))
+  }
+
   test("CrfScorer resolves via the registry and tags a real tokenized sentence") {
     val spark = graft.TestSpark.spark
     import spark.implicits._

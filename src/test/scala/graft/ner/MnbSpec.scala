@@ -67,6 +67,30 @@ class MnbSpec extends AnyFunSuite {
     assert(!p.featLogProb.contains("rare=1"))
   }
 
+  test("reject class absent: raw argmax, never the duplicate-collapsing dict path") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // No 'none' class in training (degenerate DDI corpus). Duplicate
+    // raw features ("f=x" twice, like repeated mid= tokens) must count
+    // twice: raw scores pick A, while the dict view (collapses dups)
+    // would pick B — the exact divergence the rejIdx<0 branch had.
+    val examples = Seq(
+      (Seq("f=x", "f=x"), "A"),
+      (Seq("f=x"), "B"),
+      (Seq("g=y"), "B")
+    )
+    val p = Train.fitMnbRaw(spark, spark.createDataset(examples))
+    assert(p.classes.toSeq == Seq("A", "B"))
+    val feats = Seq("f=x", "f=x")
+    // sanity: the two representations really disagree here
+    val raw = p.scoresRaw(feats)
+    assert(raw(0) > raw(1), "raw (duplicate-counting) scores must favor A")
+    assert(p.predict(Features.toDict(feats)) == "B", "dict view favors B")
+    assert(p.predictWithMarginRaw(feats, "none", 0.0) == "A")
+    assert(p.predictWithMarginRaw(feats, "none", 100.0) == "A",
+      "margin is meaningless without the reject class present")
+  }
+
   test("raw-feature hot path equals the dict path on real W1 features") {
     val spark = TestSpark.spark
     import spark.implicits._

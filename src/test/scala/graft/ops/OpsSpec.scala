@@ -200,6 +200,56 @@ class OpsSpec extends AnyFunSuite {
     assert(!banded.keys.exists { case (a, b) => a == 3L || b == 3L }, "disjoint doc paired")
   }
 
+  test("mega-bucket guard: a 100k-identical-doc LSH bucket degrades to star pairs, counter visible") {
+    import spark.implicits._
+    // 10^5 byte-identical docs (exact dedup NOT run first — the
+    // pathological case): every band forms one 100k-member bucket.
+    // All-pairs would be 8 x 5·10^9 pair emissions; the guard emits
+    // 8 x (100k-1) star pairs against the min-id hub instead.
+    val n = 100000L
+    val d = spark.range(1, n + 1)
+      .select(col("id").as("doc_id"), lit("w1 w2 w3 w4 w5 w6").as("text"))
+    val pairs = Dedup.lshCandidates(d, fast = true, maxBucket = 1000)
+    // ONE action: accumulators re-count if the DAG is recomputed
+    val rows = pairs.collect()
+    assert(Dedup.megaBucketCount("lsh") == 8L, "all 8 band buckets counted as mega")
+    assert(rows.length == (n - 1).toInt, "one star pair per non-hub member")
+    assert(rows.forall(_.getLong(0) == 1L),
+      "every pair must hang off the min-id hub (CC preserved)")
+    assert(rows.forall(_.getLong(2) == 8L))
+    // star vs all-pairs: identical connected components (1 cluster)
+    val edges = spark.createDataset(rows.toSeq.map(r =>
+      (f"${r.getLong(0)}%019d", f"${r.getLong(1)}%019d")))
+    val comps = graft.kg.Canonicalize.connectedComponents(spark, edges)
+    assert(comps.select("comp").distinct().count() == 1L)
+  }
+
+  test("mega-bucket guard: bucket at or under maxBucket stays exact all-pairs") {
+    val d = docs(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (2L, "w1 w2 w3 w4 w5 w6"),
+      (3L, "w1 w2 w3 w4 w5 w6")
+    )
+    // bucket size 3 == maxBucket: no degradation, full 3 pairs
+    val pairs = Dedup.lshCandidates(d, maxBucket = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(Dedup.megaBucketCount("lsh") == 0L)
+  }
+
+  test("mega-bucket guard: degenerate simhash bucket degrades to star, hamming still filtered") {
+    import spark.implicits._
+    val n = 20000L
+    val d = spark.range(1, n + 1)
+      .select(col("id").as("doc_id"),
+        lit("alpha beta gamma delta epsilon zeta eta theta").as("text"))
+    val pairs = Dedup.simhashNearDup(d, maxHamming = 3, maxBucket = 500)
+    val rows = pairs.collect()
+    assert(rows.length == (n - 1).toInt, "one star pair per non-hub member")
+    assert(rows.forall(r => r.getLong(0) == 1L && r.getInt(2) == 0))
+    assert(Dedup.megaBucketCount("simhash") == 4L, "all 4 simhash bands counted")
+  }
+
   test("asofJoin: each click sees the latest purchase at-or-before it, else null") {
     import spark.implicits._
     def t(min: Long) = new java.sql.Timestamp(60000L * min)
