@@ -42,6 +42,39 @@ object Relations {
     */
   private val NegCues = Set("not", "no", "neither", "nor", "without", "lack", "absence")
 
+  // Trigger lexicons per DDI class — the standard dependency-free signal
+  // of the published SemEval-2013 DDI systems (trigger-word lists in
+  // FBK-irst / WBI / UTurku task papers), assembled from the task
+  // definitions + TRAIN-split inspection; devel was used only for margin
+  // tuning, test untouched (see DebugDdi).
+  private val AdviseCues = Set(
+    "should", "must", "recommended", "recommend", "avoid", "avoided",
+    "avoiding", "caution", "cautiously", "advisable", "advised",
+    "careful", "carefully", "contraindicated", "consider", "considered",
+    "monitor", "monitored", "monitoring", "closely", "exercised")
+  private val EffectCues = Set(
+    "effect", "effects", "increase", "increased", "increases", "decrease",
+    "decreased", "decreases", "enhance", "enhanced", "enhances", "reduce",
+    "reduced", "reduces", "potentiate", "potentiated", "potentiates",
+    "potentiating", "antagonize", "antagonized", "antagonizes", "inhibit",
+    "inhibited", "inhibits", "response", "action", "actions", "toxicity",
+    "prolong", "prolonged", "prolongs", "diminish", "diminished",
+    "attenuate", "attenuated", "block", "blocks", "blocked", "additive",
+    "antagonism", "potentiation")
+  private val MechCues = Set(
+    "metabolism", "metabolized", "clearance", "absorption",
+    "concentration", "concentrations", "plasma", "level", "levels",
+    "bioavailability", "excretion", "half-life", "auc", "serum",
+    "induce", "induced", "inducer", "induces", "induction", "inhibitor",
+    "inhibitors", "inhibition", "enzyme", "enzymes", "elimination",
+    "exposure", "absorbed", "excreted")
+  private val IntCues = Set(
+    "interact", "interacts", "interaction", "interactions", "interfere",
+    "interferes", "interference")
+  private val CueClasses =
+    Seq(("A", AdviseCues), ("E", EffectCues), ("M", MechCues), ("I", IntCues))
+  private val CoordForms = Set("and", "or", ",", ";", "/", "(", ")")
+
   def pairFeatures(
       toks: IndexedSeq[Tok],
       e1: GoldSpan,
@@ -50,21 +83,27 @@ object Relations {
   ): Seq[String] = {
     val (lo, hi) = if (e1.start <= e2.start) (e1, e2) else (e2, e1)
     val mid = toks.filter(t => t.start > lo.end && t.end < hi.start)
-    val before = toks.filter(_.end < lo.start).takeRight(2)
-    val after = toks.filter(_.start > hi.end).take(2)
-    // feature ablations tried (DebugDdi, devel typed F1): mid bigrams
-    // and entity-surface lexemes both OVERFIT (train R 0.90 from
-    // memorization, devel F1 0.384 -> 0.362); unigram windows + the
-    // structural cues below are the best deterministic set found
+    val before = toks.filter(_.end < lo.start).takeRight(3)
+    val after = toks.filter(_.start > hi.end).take(3)
+    // feature ablations tried (DebugDdi round 1 + the round-3 python
+    // twin, devel typed F1): mid bigrams and entity-surface lexemes
+    // OVERFIT; etype-pair and cue x etype conjunctions net-negative;
+    // the winning round-3 set is: CAPPED mid unigrams (long windows
+    // drowned the signal: devel 0.468 -> 0.514 from the cap alone),
+    // 3-token outer windows, class trigger lexicons at mid/window/
+    // sentence scope, same-surface + coordination-shape flags, and the
+    // structural buckets below.
     val b = Vector.newBuilder[String]
-    mid.foreach(t => b += ("mid=" + t.form.toLowerCase(java.util.Locale.ROOT)))
+    val midl = mid.map(_.form.toLowerCase(java.util.Locale.ROOT))
+    val memit = if (midl.length <= 12) midl else midl.take(6) ++ midl.takeRight(6)
+    memit.foreach(w => b += ("mid=" + w))
     before.foreach(t => b += ("bef=" + t.form.toLowerCase(java.util.Locale.ROOT)))
     after.foreach(t => b += ("aft=" + t.form.toLowerCase(java.util.Locale.ROOT)))
     b += ("ndist=" + distBucket(mid.length))
     b += ("e1t=" + lo.etype)
     b += ("e2t=" + hi.etype)
     // negation between the entities flips/voids most interaction cues
-    if (mid.exists(t => NegCues.contains(t.form.toLowerCase(java.util.Locale.ROOT)))) b += "neg=1"
+    if (midl.exists(NegCues)) b += "neg=1"
     // other annotated entities strictly between the pair — enumeration
     // sentences ("A, B, C and D were given") produce many false pairs
     val nBetween = otherEnts.count(o =>
@@ -73,6 +112,26 @@ object Relations {
     b += ("nents=" + distBucket(nBetween))
     // pair order in text often encodes agent vs patient
     if (e1.start > e2.start) b += "inv=1"
+    // class trigger cues at three scopes: between the pair (+ distance
+    // conjunction), the 3-token outer windows, the whole sentence
+    val wl = (before ++ after).map(_.form.toLowerCase(java.util.Locale.ROOT))
+    val sl = toks.map(_.form.toLowerCase(java.util.Locale.ROOT))
+    val d = distBucket(mid.length)
+    CueClasses.foreach { case (name, cs) =>
+      if (midl.exists(cs)) { b += s"m_cue$name=1"; b += s"m_cue${name}_d=$d" }
+      if (wl.exists(cs)) b += s"w_cue$name=1"
+      if (sl.exists(cs)) b += s"s_cue$name=1"
+    }
+    // same surface on both sides: 1478 none vs 5 positive in train —
+    // also enforced as a hard rule at predict time
+    if (lo.text.toLowerCase(java.util.Locale.ROOT) ==
+        hi.text.toLowerCase(java.util.Locale.ROOT)) b += "samedrug=1"
+    // enumeration shape: every mid token is a conjunction/punct or part
+    // of an annotated entity (6914 none vs 273 positive in train)
+    if (mid.nonEmpty && mid.forall(t =>
+        CoordForms.contains(t.form.toLowerCase(java.util.Locale.ROOT)) ||
+          otherEnts.exists(o => t.start >= o.start && t.end <= o.end)))
+      b += "coord=1"
     b.result()
   }
 
@@ -117,27 +176,43 @@ object Relations {
     * MnbParams.predict sums log-likelihood per raw feature occurrence —
     * multinomial bag semantics.
     */
-  /** Default decision margin (log-odds over "none"), tuned by maximizing
-    * typed F1 on the TRAINING split (no eval leakage) — see
-    * tools/DebugDdi. 0 = plain argmax.
+  /** Per-class decision margins (log-odds over "none"), tuned by
+    * coordinate ascent on the DEVEL split with a train-fit model (test
+    * untouched) — see tools/DebugDdi. A class needs margin m to beat
+    * "none": rare-but-cued classes (int) go negative, noisy ones
+    * (advise) positive. Classes outside the map use [[DefaultMargin]].
     */
+  val DefaultMargins: Map[String, Double] = Map(
+    "advise" -> 2.0, "effect" -> 0.5, "int" -> -6.0, "mechanism" -> 3.0)
+
+  /** Scalar fallback margin for classes absent from the tuned map. */
   val DefaultMargin: Double = 2.0
+
+  /** The full DDI decision for one candidate pair — shared by
+    * [[predict]] and the fused `Pipeline.score` path so the two can
+    * never drift. Hard same-surface rule first (99.7% none in train;
+    * as a mere feature the MNB bag dilutes it among dozens of window
+    * unigrams), then the per-class-margin MNB over the raw features
+    * (the exact "k=v" strings the model was trained on — no BoS/EoS
+    * expansion, no dict round-trip).
+    */
+  def decide(
+      params: MnbParams,
+      feats: Seq[String],
+      margins: Map[String, Double] = DefaultMargins
+  ): String =
+    if (feats.contains("samedrug=1")) "none"
+    else params.predictPerClassMarginRaw(feats, "none", margins, DefaultMargin)
 
   def predict(
       spark: SparkSession,
       sents: Dataset[ParsedSentence],
       params: Broadcast[MnbParams],
-      margin: Double = DefaultMargin
+      margins: Map[String, Double] = DefaultMargins
   ): Dataset[Relation] = {
     import spark.implicits._
     examples(spark, sents)
-      .map { e =>
-        // raw-feature hot path: pairFeatures emits the exact "k=v"
-        // strings the model was trained on (no BoS/EoS expansion needed)
-        // — the split-then-reconcat round trip was pure allocation
-        Relation(e.sid, e.e1, e.e2,
-          params.value.predictWithMarginRaw(e.feats, "none", margin))
-      }
+      .map(e => Relation(e.sid, e.e1, e.e2, decide(params.value, e.feats, margins)))
       .filter(_.dtype != "none")
   }
 }

@@ -108,19 +108,20 @@ object Resume {
       .sortBy(_._1)
     if (counters.isEmpty) return Seq.empty
 
-    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      remaining
-        .repartition(col("repo"))
-        .write
-        .mode(SaveMode.Overwrite) // dynamic: replaces only written repos
-        .partitionBy("repo")
-        .parquet(table)
-    finally prevMode match {
-      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // dynamic partition overwrite as a PER-WRITE option, never session
+    // conf: inside foreachBatch the frame is bound to a cloned
+    // micro-batch session, where a conf set on the caller's session
+    // does not apply — the old conf-juggling version silently fell back
+    // to full-table overwrite there, wiping earlier repos' partitions
+    // (caught by the StreamOpsSpec kg-stream e2e). The write option
+    // takes precedence over session conf in all contexts.
+    remaining
+      .repartition(col("repo"))
+      .write
+      .mode(SaveMode.Overwrite) // dynamic: replaces only written repos
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("repo")
+      .parquet(table)
 
     Files.createDirectories(manifestDir(table))
     counters.toSeq.map { case (repo, rows, distinctSubj) =>

@@ -165,6 +165,10 @@ object Canonicalize {
     val out = real
       .join(canon, "comp")
       .select($"node".as("surface"), $"canonical")
+    // unpersisting BEFORE `out` materializes is deliberate and safe:
+    // everything downstream hangs off the localCheckpointed CC result
+    // (connectedComponents truncates lineage), so `out` never re-reads
+    // `surf`. Do not "fix" this by moving the unpersist after an action.
     surf.unpersist()
     out
   }

@@ -243,7 +243,7 @@ object Pipeline {
             e1 <- byId.get(p.e1)
             e2 <- byId.get(p.e2)
             feats = Relations.pairFeatures(toks, e1, e2, s.entities)
-            dtype = m.ddi.predictWithMarginRaw(feats, "none", Relations.DefaultMargin)
+            dtype = Relations.decide(m.ddi, feats)
             if dtype != "none"
           } yield Relation(s.sid, p.e1, p.e2, dtype)
         }

@@ -8,8 +8,12 @@ import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
-/** Dev tool: grid the DDI decision margin; report typed F1 on train
-  * (tuning metric — no eval leakage) and devel (held-out report).
+/** Dev tool: tune the per-class DDI decision margins by coordinate
+  * ascent on DEVEL (model fit on train). Typed F1 (the evaluator's CLASS
+  * row) is the objective. Test is evaluated ONLY when "TEST" is passed —
+  * the one final report, never during tuning.
+  *
+  * Usage: runMain graft.tools.DebugDdi [TEST]
   */
 object DebugDdi {
   def main(args: Array[String]): Unit = {
@@ -27,21 +31,43 @@ object DebugDdi {
     }
     val train = load("/root/reference/data/train")
     val devel = load("/root/reference/data/devel")
-    val test = load("/root/reference/data/test")
     val params = spark.sparkContext.broadcast(Relations.fit(spark, train))
 
-    for (margin <- Seq(0.0, 1.0, 2.0, 3.0, 4.0, 6.0, 8.0)) {
-      def f1On(ds: org.apache.spark.sql.Dataset[graft.core.ParsedSentence]): (Double, Double, Double) = {
-        val rels = Relations.predict(spark, ds, params, margin)
-        val cls = Evaluator
-          .evalRows(spark, Pipeline.goldDdi(spark, ds), Pipeline.predDdi(spark, rels))
-          .find(_.kind == "CLASS").get
-        (cls.p, cls.r, cls.f1)
+    def f1On(ds: org.apache.spark.sql.Dataset[graft.core.ParsedSentence],
+             margins: Map[String, Double]): (Double, Double, Double) = {
+      val rels = Relations.predict(spark, ds, params, margins)
+      val cls = Evaluator
+        .evalRows(spark, Pipeline.goldDdi(spark, ds), Pipeline.predDdi(spark, rels))
+        .find(_.kind == "CLASS").get
+      (cls.p, cls.r, cls.f1)
+    }
+
+    val grid = Seq(-6.0, -4.0, -2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 1.5, 2.0,
+      2.5, 3.0, 3.5, 4.0, 5.0, 6.0, 8.0, 12.0)
+    var margins = Relations.DefaultMargins
+    var best = f1On(devel, margins)._3
+    println(f"start margins=$margins devel F1=$best%.4f")
+    var improved = true
+    while (improved) {
+      improved = false
+      for (c <- Seq("advise", "effect", "int", "mechanism"); v <- grid) {
+        val trial = margins + (c -> v)
+        if (trial != margins) {
+          val f1 = f1On(devel, trial)._3
+          if (f1 > best + 1e-9) {
+            best = f1; margins = trial; improved = true
+            println(f"  improve: $c%-9s -> $v%5.1f  devel F1=$f1%.4f")
+          }
+        }
       }
-      val (tp, tr, tf) = f1On(train)
-      val (dp, dr, df) = f1On(devel)
-      val (xp, xr, xf) = f1On(test)
-      println(f"margin=$margin%.1f train P=$tp%.3f R=$tr%.3f F1=$tf%.3f | devel P=$dp%.3f R=$dr%.3f F1=$df%.3f | test P=$xp%.3f R=$xr%.3f F1=$xf%.3f")
+    }
+    val (dp, dr, df) = f1On(devel, margins)
+    println(f"TUNED margins=$margins")
+    println(f"devel P=$dp%.3f R=$dr%.3f F1=$df%.3f")
+    if (args.contains("TEST")) {
+      val test = load("/root/reference/data/test")
+      val (xp, xr, xf) = f1On(test, margins)
+      println(f"TEST  P=$xp%.3f R=$xr%.3f F1=$xf%.3f   (final report — not a tuning signal)")
     }
     spark.stop()
   }

@@ -174,6 +174,88 @@ class StreamOpsSpec extends AnyFunSuite {
       s"dedup state must survive the restart (id 1 once), got ${ids.toSeq}")
   }
 
+  test("kg stream e2e: file source -> scoreStream -> resumable sink, mid-stream kill + recovery") {
+    import spark.implicits._
+    import graft.core.Triple
+    import graft.io.Resume
+    import graft.pipeline.Pipeline
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+
+    val base = Files.createTempDirectory("kgstream").toString
+    val (srcDir, ckpt, table) = (s"$base/src", s"$base/ckpt", s"$base/triples")
+    Files.createDirectories(Paths.get(srcDir))
+
+    val corpus = graft.fixtures.DocGen.corpus(spark, 40)
+    val models = spark.sparkContext.broadcast(
+      Pipeline.fit(spark, Pipeline.parse(spark, corpus), "hybrid"))
+    // ground truth: the batch pipeline's triples over the same corpus
+    val expected = Pipeline.score(spark, Pipeline.parse(spark, corpus), models)
+      .flatMap(_.triples).collect().sortBy(_.toString).toSeq
+    val repos = corpus.select("repo").distinct().as[String].collect().sorted
+    assert(repos.length >= 3 && expected.nonEmpty, "fixture must span repos and yield triples")
+
+    // one source file per repo: a micro-batch maps to a repo commit unit
+    def addFile(repo: String): Unit = {
+      val tmp = Files.createTempDirectory("one").toString
+      corpus.filter($"repo" === repo).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+      Files.move(part, Paths.get(srcDir, s"$repo.parquet"))
+    }
+
+    def start() = {
+      val src = spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      StreamOps.scoreStream(spark, src, models)
+        .flatMap(_.triples)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Triple], _: Long) =>
+          Resume.writeResumable(spark, b, table); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+
+    // phase 1: one repo arrives, then the query is killed
+    addFile(repos.head)
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    assert(Resume.committedRepos(table) == Set(repos.head),
+      "first micro-batch must commit exactly its repo's manifest")
+
+    // phase 2: the rest arrive; restart resumes from the checkpoint
+    repos.tail.foreach(addFile)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = Resume.read(spark, table).collect().sortBy(_.toString).toSeq
+    assert(got == expected, s"stream sink (${got.size}) != batch triples (${expected.size})")
+    assert(Resume.committedRepos(table) == expected.map(_.repo).toSet)
+
+    // phase 3: replay EVERYTHING against a fresh checkpoint — the
+    // manifest contract makes the sink idempotent even without Spark's
+    // own source checkpoint (exactly-once at the commit layer)
+    val q3 = {
+      val src = spark.readStream.schema(corpus.schema).parquet(srcDir)
+      StreamOps.scoreStream(spark, src, models)
+        .flatMap(_.triples)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Triple], _: Long) =>
+          Resume.writeResumable(spark, b, table); ()
+        }
+        .option("checkpointLocation", s"$base/ckpt2")
+        .start()
+    }
+    q3.processAllAvailable()
+    q3.stop()
+    assert(Resume.read(spark, table).count() == expected.size.toLong,
+      "full replay must be a no-op: every repo already committed")
+    models.destroy()
+  }
+
   test("sessionizeStream: state closes a session after the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
