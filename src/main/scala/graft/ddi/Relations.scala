@@ -5,6 +5,7 @@ import graft.ner.{MnbParams, Train}
 import graft.core.Tokenize
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** DDI relation extraction over the 4 SemEval-2013 interaction classes
   * {mechanism, effect, advise, int} + implicit "none".
@@ -85,18 +86,26 @@ object Relations {
     val mid = toks.filter(t => t.start > lo.end && t.end < hi.start)
     val before = toks.filter(_.end < lo.start).takeRight(3)
     val after = toks.filter(_.start > hi.end).take(3)
-    // feature ablations tried (DebugDdi round 1 + the round-3 python
-    // twin, devel typed F1): mid bigrams and entity-surface lexemes
-    // OVERFIT; etype-pair and cue x etype conjunctions net-negative;
-    // the winning round-3 set is: CAPPED mid unigrams (long windows
-    // drowned the signal: devel 0.468 -> 0.514 from the cap alone),
+    // Feature ablations (DebugDdi + the round-3 python twin, devel
+    // typed F1, perceptron model): entity-surface lexemes, etype-pair,
+    // cue x etype conjunctions, and 4-token outer windows all
+    // net-negative; the winning set is full mid unigrams + bigrams,
     // 3-token outer windows, class trigger lexicons at mid/window/
     // sentence scope, same-surface + coordination-shape flags, and the
-    // structural buckets below.
+    // structural buckets below. (Under the earlier generative MNB the
+    // optimum differed: bigrams overfit and mid needed a 12-token cap.)
     val b = Vector.newBuilder[String]
     val midl = mid.map(_.form.toLowerCase(java.util.Locale.ROOT))
-    val memit = if (midl.length <= 12) midl else midl.take(6) ++ midl.takeRight(6)
-    memit.foreach(w => b += ("mid=" + w))
+    midl.foreach(w => b += ("mid=" + w))
+    // mid bigrams: usable under the discriminative perceptron (they
+    // overfit the generative MNB — round-1 ablation); likewise the
+    // uncapped mid unigrams (the perceptron down-weights noise the MNB
+    // bag needed a 12-token cap to survive: devel 0.616 capped vs
+    // 0.623 uncapped, 0.630 with bigrams)
+    var bi = 0
+    while (bi < midl.length - 1) {
+      b += ("mbi=" + midl(bi) + "_" + midl(bi + 1)); bi += 1
+    }
     before.foreach(t => b += ("bef=" + t.form.toLowerCase(java.util.Locale.ROOT)))
     after.foreach(t => b += ("aft=" + t.form.toLowerCase(java.util.Locale.ROOT)))
     b += ("ndist=" + distBucket(mid.length))
@@ -166,48 +175,108 @@ object Relations {
     }
   }
 
-  /** Fit the DDI classifier: shared MNB core over pair features. */
-  def fit(spark: SparkSession, sents: Dataset[ParsedSentence], minFreq: Long = 1L): MnbParams = {
+  /** Fit the DDI classifier: averaged perceptron over pair features
+    * (round 3 — devel typed F1 0.63 vs the MNB's 0.54, BASELINE.md).
+    * Examples are collected to the driver SORTED by (sid, e1, e2) —
+    * the perceptron is order-dependent, so the stream order must be
+    * independent of partitioning (same determinism discipline as the
+    * CRF train stream, `ner/Train.fitCrf`). Model-bounded like the CRF
+    * fit: the pair stream of a training corpus, not the scored data.
+    */
+  def fit(spark: SparkSession, sents: Dataset[ParsedSentence]): Perceptron.PerceptronParams = {
+    import spark.implicits._
+    val ex = examples(spark, sents)
+      .map(e => (e.sid, e.e1, e.e2, e.feats, e.label))
+      .collect()
+      .sortBy(x => (x._1, x._2, x._3))
+      .map(x => (x._4: Seq[String], x._5))
+    Perceptron.fit(ex.toIndexedSeq)
+  }
+
+  /** The round-2 generative alternative, kept for ablation + the
+    * shared-MNB-core (A5) story; [[fit]] replaced it as the default
+    * after a measured devel comparison.
+    */
+  def fitMnb(spark: SparkSession, sents: Dataset[ParsedSentence], minFreq: Long = 1L): MnbParams = {
     import spark.implicits._
     Train.fitMnbRaw(spark, examples(spark, sents).map(e => (e.feats, e.label)), minFreq)
   }
 
-  /** Score candidate pairs; keep predicted interactions (label != none).
-    * MnbParams.predict sums log-likelihood per raw feature occurrence —
-    * multinomial bag semantics.
+  /** Unbounded-training-scale path: partition-local perceptron fits +
+    * parameter averaging (the distributed-CRF strategy, McDonald et
+    * al. 2010). Each partition sorts its local slice — deterministic
+    * given a deterministic partitioner.
     */
-  /** Per-class decision margins (log-odds over "none"), tuned by
+  def fitDistributed(
+      spark: SparkSession,
+      sents: Dataset[ParsedSentence],
+      parts: Int = 8
+  ): Perceptron.PerceptronParams = {
+    import spark.implicits._
+    val locals = examples(spark, sents)
+      .map(e => (e.sid, e.e1, e.e2, e.feats, e.label))
+      .repartition(parts, col("_1")) // _1 = sid after the tuple map
+      .mapPartitions { it =>
+        val ex = it.toIndexedSeq.sortBy(x => (x._1, x._2, x._3))
+          .map(x => (x._4: Seq[String], x._5))
+        if (ex.isEmpty) Iterator.empty else Iterator(Perceptron.fit(ex))
+      }
+      .collect()
+    Perceptron.average(locals.toSeq)
+  }
+
+  /** Per-class decision margins (score gap over "none"), tuned by
     * coordinate ascent on the DEVEL split with a train-fit model (test
     * untouched) — see tools/DebugDdi. A class needs margin m to beat
-    * "none": rare-but-cued classes (int) go negative, noisy ones
-    * (advise) positive. Classes outside the map use [[DefaultMargin]].
+    * "none"; negative lets a rare-but-strongly-cued class overrule the
+    * imbalanced none default. Classes outside the map use
+    * [[DefaultMargin]].
     */
   val DefaultMargins: Map[String, Double] = Map(
-    "advise" -> 2.0, "effect" -> 0.5, "int" -> -6.0, "mechanism" -> 3.0)
+    "advise" -> 2.0, "effect" -> -2.0, "int" -> 0.0, "mechanism" -> -2.0)
+  // int stays at plain argmax (0.0), NOT the ascent's -6.0: the devel
+  // delta between them is 0.001 F1 (noise for a 96-instance class)
+  // while -6 makes int emission near-unconditional whenever int is the
+  // best positive class — measured brittle on coordination-only pairs
+  // ("A and B were studied") outside the tuning corpus.
 
   /** Scalar fallback margin for classes absent from the tuned map. */
-  val DefaultMargin: Double = 2.0
+  val DefaultMargin: Double = 0.0
 
   /** The full DDI decision for one candidate pair — shared by
     * [[predict]] and the fused `Pipeline.score` path so the two can
     * never drift. Hard same-surface rule first (99.7% none in train;
-    * as a mere feature the MNB bag dilutes it among dozens of window
-    * unigrams), then the per-class-margin MNB over the raw features
-    * (the exact "k=v" strings the model was trained on — no BoS/EoS
-    * expansion, no dict round-trip).
+    * as a mere feature a linear bag model dilutes it among dozens of
+    * window terms), then argmax-with-per-class-margin over the raw
+    * feature scores of any [[graft.ner.RawScorer]] (perceptron by
+    * default; the MNB slots in unchanged for ablation).
     */
   def decide(
-      params: MnbParams,
+      params: graft.ner.RawScorer,
       feats: Seq[String],
       margins: Map[String, Double] = DefaultMargins
-  ): String =
-    if (feats.contains("samedrug=1")) "none"
-    else params.predictPerClassMarginRaw(feats, "none", margins, DefaultMargin)
+  ): String = {
+    if (feats.contains("samedrug=1")) return "none"
+    val cs = params.classes
+    if (cs.isEmpty) return "none"
+    val s = params.scoresRaw(feats)
+    val rejIdx = cs.indexOf("none")
+    var best = -1
+    var i = 0
+    while (i < s.length) {
+      if (i != rejIdx && (best < 0 || s(i) > s(best))) best = i
+      i += 1
+    }
+    if (rejIdx < 0) return cs(best)
+    if (best >= 0 && s(best) - s(rejIdx) > margins.getOrElse(cs(best), DefaultMargin))
+      cs(best)
+    else "none"
+  }
 
   def predict(
       spark: SparkSession,
       sents: Dataset[ParsedSentence],
-      params: Broadcast[MnbParams],
+      params: Broadcast[_ <: graft.ner.RawScorer],
       margins: Map[String, Double] = DefaultMargins
   ): Dataset[Relation] = {
     import spark.implicits._

@@ -26,6 +26,16 @@ object AllOScorer extends MentionScorer {
     toks.map(_ => "O")
 }
 
+/** Common contract of the linear pair/token classifiers (MNB,
+  * averaged perceptron): score a raw feature bag against a sorted
+  * class array. Lets the DDI decision logic ([[graft.ddi.Relations]])
+  * swap models without touching the pipeline.
+  */
+trait RawScorer extends Serializable {
+  def classes: Array[String]
+  def scoresRaw(feats: Seq[String]): Array[Double]
+}
+
 /** Multinomial Naive Bayes parameters in closed form (SURVEY A5).
   *
   * Matches sklearn's `DictVectorizer(one-hot) + MultinomialNB(alpha=1)`
@@ -49,7 +59,7 @@ final case class MnbParams(
     logPrior: Array[Double],
     featLogProb: Map[String, Array[Double]],
     defaultLog: Array[Double]
-) extends Serializable {
+) extends RawScorer {
 
   def scores(dictFeats: Seq[(String, String)]): Array[Double] = {
     val n = classes.length

@@ -174,11 +174,11 @@ object Pipeline {
     */
   final case class Models(
       scorer: MentionScorer,
-      ddi: MnbParams,
+      ddi: graft.ner.RawScorer, // averaged perceptron (MNB slots in for ablation)
       canon: Map[String, String]
   ) extends Serializable
 
-  /** Fit gazetteer + NER MNB + DDI MNB + the canonical alias map (from
+  /** Fit gazetteer + NER MNB + DDI perceptron + the canonical alias map (from
     * the training surface vocabulary; unseen surfaces fall back to
     * lower-case identity at score time). Three hash aggregations + one
     * small CC — all bounded by vocabulary, not corpus size.
@@ -194,7 +194,7 @@ object Pipeline {
     lazy val nerParams = Train.fitMnb(spark, featureRows(spark, train), mnbMinFreq)
     lazy val crfParams = Train.fitCrf(spark, train)
     val scorer = MentionScorer.resolve(scorerName, gaz, gazN, nerParams, crfParams)
-    val ddiParams = Relations.fit(spark, train, mnbMinFreq)
+    val ddiParams = Relations.fit(spark, train)
     val canon = Canonicalize
       .canonicalMap(spark, train.flatMap(s => s.entities.map(_.text)))
       .collect()

@@ -31,7 +31,11 @@ object DebugDdi {
     }
     val train = load("/root/reference/data/train")
     val devel = load("/root/reference/data/devel")
-    val params = spark.sparkContext.broadcast(Relations.fit(spark, train))
+    // DIST: the unbounded-training-scale arm (partition-local fits +
+    // parameter averaging) instead of the driver-side fit
+    val params = spark.sparkContext.broadcast(
+      if (args.contains("DIST")) Relations.fitDistributed(spark, train)
+      else Relations.fit(spark, train))
 
     def f1On(ds: org.apache.spark.sql.Dataset[graft.core.ParsedSentence],
              margins: Map[String, Double]): (Double, Double, Double) = {
@@ -47,7 +51,10 @@ object DebugDdi {
     var margins = Relations.DefaultMargins
     var best = f1On(devel, margins)._3
     println(f"start margins=$margins devel F1=$best%.4f")
-    var improved = true
+    // FROZEN skips the ascent: report at the SHIPPED DefaultMargins
+    // (the honest final-config measurement; the ascent may prefer a
+    // devel-noise-level tweak the shipped config deliberately rejects)
+    var improved = !args.contains("FROZEN")
     while (improved) {
       improved = false
       for (c <- Seq("advise", "effect", "int", "mechanism"); v <- grid) {
