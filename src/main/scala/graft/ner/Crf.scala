@@ -287,7 +287,11 @@ object Crf {
   * memorizes training surfaces via its `form=` state features, so the
   * gazetteer only adds its false positives. Don't retry.
   */
-final class CrfScorer(params: Crf.CrfParams) extends MentionScorer {
+final class CrfScorer(
+    params: Crf.CrfParams,
+    gazFeat: Option[GazetteerScorer] = None
+) extends MentionScorer {
   def tagSentence(toks: IndexedSeq[graft.core.Tok]): IndexedSeq[String] =
-    Crf.viterbi(params, Features.extractFeatures(toks))
+    Crf.viterbi(params,
+      Features.withGaz(Features.extractFeatures(toks), toks, gazFeat))
 }

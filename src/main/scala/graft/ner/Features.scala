@@ -69,6 +69,23 @@ object Features {
     * Returned in INSERTION order (= extractFeatures' emission order) —
     * deterministic, but NOT sorted by key.
     */
+  /** Optionally append a gazetteer-membership feature per token
+    * (`gaz=B-drug` / `gaz=I-drug` / `gaz=O` from the longest-match BIO
+    * tagging) to the W1 parity features — the standard NER gazetteer
+    * feature, used by the CRF's gaz-feature arm. The W1 set itself is
+    * NEVER extended (D4 TSV parity, IoSpec).
+    */
+  def withGaz(
+      feats: IndexedSeq[Vector[String]],
+      toks: IndexedSeq[Tok],
+      gaz: Option[GazetteerScorer]
+  ): IndexedSeq[Vector[String]] = gaz match {
+    case None => feats
+    case Some(g) =>
+      val tags = g.tagSentence(toks)
+      feats.indices.map(i => feats(i) :+ ("gaz=" + tags(i)))
+  }
+
   def toDict(features: Seq[String]): Vector[(String, String)] = {
     val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
     features.foreach { f =>

@@ -126,33 +126,6 @@ final case class MnbParams(
     if (best >= 0 && s(best) - s(rejIdx) > margin) classes(best) else reject
   }
 
-  /** Per-class-margin variant of [[predictWithMarginRaw]]: the argmax
-    * non-reject class c wins when score(c) - score(reject) >
-    * margins(c); classes outside the map use `default`. Negative
-    * margins let a rare-but-strongly-cued class (DDI "int") beat the
-    * imbalanced reject prior.
-    */
-  def predictPerClassMarginRaw(
-      feats: Seq[String],
-      reject: String,
-      margins: Map[String, Double],
-      default: Double
-  ): String = {
-    if (classes.isEmpty) return reject
-    val s = scoresRaw(feats)
-    val rejIdx = classes.indexOf(reject)
-    var best = -1
-    var i = 0
-    while (i < s.length) {
-      if (i != rejIdx && (best < 0 || s(i) > s(best))) best = i
-      i += 1
-    }
-    if (rejIdx < 0) return classes(best)
-    if (best >= 0 && s(best) - s(rejIdx) > margins.getOrElse(classes(best), default))
-      classes(best)
-    else reject
-  }
-
   def predict(dictFeats: Seq[(String, String)]): String = {
     // empty model (zero training examples): degrade to the all-O floor
     // like the other scorers instead of indexing into an empty array

@@ -146,12 +146,13 @@ object Train {
     */
   private def sentStreams(
       spark: SparkSession,
-      sents: Dataset[ParsedSentence]
+      sents: Dataset[ParsedSentence],
+      gazFeat: Option[GazetteerScorer] = None
   ): Dataset[(String, Seq[(Seq[String], String)])] = {
     import spark.implicits._
     sents.map { s =>
       val toks = graft.core.Tokenize.tokenize(s.text)
-      val feats = Features.extractFeatures(toks)
+      val feats = Features.withGaz(Features.extractFeatures(toks), toks, gazFeat)
       (s.sid, toks.indices.map(i =>
         (feats(i): Seq[String], Features.getTag(toks(i), s.entities))): Seq[(Seq[String], String)])
     }
@@ -167,9 +168,10 @@ object Train {
       spark: SparkSession,
       sents: Dataset[ParsedSentence],
       c2: Double = 0.1,
-      epochs: Int = 30
+      epochs: Int = 30,
+      gazFeat: Option[GazetteerScorer] = None
   ): Crf.CrfParams = {
-    val stream = sentStreams(spark, sents)
+    val stream = sentStreams(spark, sents, gazFeat)
       .collect()
       .sortBy(_._1)
       .flatMap(_._2)

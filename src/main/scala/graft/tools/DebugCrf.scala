@@ -37,12 +37,15 @@ object DebugCrf {
       val fitSec = (System.nanoTime() - t0) / 1e9
       val distParams = Train.fitCrfDistributed(
         spark, train, epochs = epochs, parts = 8)
-      for (variant <- Seq("crf", "gaz+crf", "crf_dist8")) {
+      val gs = new GazetteerScorer(gazMap, gazN)
+      lazy val gazFeatParams = Train.fitCrf(spark, train, epochs = epochs, gazFeat = Some(gs))
+      for (variant <- Seq("crf", "gaz+crf", "crf_gazfeat", "crf_dist8")) {
       val crf: MentionScorer = new CrfScorer(params)
       val scorer: MentionScorer = variant match {
-        case "crf"       => crf
-        case "gaz+crf"   => new MergeScorer(new GazetteerScorer(gazMap, gazN), crf)
-        case "crf_dist8" => new CrfScorer(distParams)
+        case "crf"         => crf
+        case "gaz+crf"     => new MergeScorer(gs, crf)
+        case "crf_gazfeat" => new CrfScorer(gazFeatParams, Some(gs))
+        case "crf_dist8"   => new CrfScorer(distParams)
       }
       val b = spark.sparkContext.broadcast(scorer)
       def f1On(ds: org.apache.spark.sql.Dataset[graft.core.ParsedSentence]) = {

@@ -57,4 +57,19 @@ class FeaturesSpec extends AnyFunSuite {
     assert(d("formPrev") == "BoS" && d("suf3Prev") == "BoS")
     assert(d("formNext") == "EoS" && d("suf3Next") == "EoS")
   }
+
+  test("withGaz: None is identity; Some appends one gaz= BIO feature per token") {
+    val toks = graft.core.Tokenize.tokenize("Take oral contraceptives daily.")
+    val base = Features.extractFeatures(toks)
+    assert(Features.withGaz(base, toks, None) eq base)
+    val gaz = new GazetteerScorer(Map("oral contraceptives" -> "group"), 2)
+    val aug = Features.withGaz(base, toks, Some(gaz))
+    assert(aug.map(_.size) == base.map(_.size + 1))
+    val tags = aug.map(_.last)
+    val i = toks.indexWhere(_.form == "oral")
+    assert(tags(i) == "gaz=B-group" && tags(i + 1) == "gaz=I-group")
+    assert(tags.head == "gaz=O")
+    // the W1 parity prefix is untouched (D4 TSV contract)
+    assert(aug.map(_.init) == base.map(identity))
+  }
 }
