@@ -32,9 +32,10 @@ object DebugDdi {
     val train = load("/root/reference/data/train")
     val devel = load("/root/reference/data/devel")
     // DIST: the unbounded-training-scale arm (partition-local fits +
-    // parameter averaging) instead of the driver-side fit
-    val params = spark.sparkContext.broadcast(
+    // parameter averaging); MNB: the round-2 generative ablation arm
+    val params = spark.sparkContext.broadcast[graft.ner.RawScorer](
       if (args.contains("DIST")) Relations.fitDistributed(spark, train)
+      else if (args.contains("MNB")) Relations.fitMnb(spark, train)
       else Relations.fit(spark, train))
 
     def f1On(ds: org.apache.spark.sql.Dataset[graft.core.ParsedSentence],
