@@ -4,8 +4,9 @@ import graft.ner.RawScorer
 
 /** Multiclass averaged perceptron (Collins 2002, "Discriminative
   * Training Methods for HMMs") — the round-3 DDI pair classifier.
-  * Chosen over the MNB after a measured devel comparison (0.63 vs 0.54
-  * typed F1, BASELINE.md): the discriminative update down-weights the
+  * Chosen over the MNB after a measured devel comparison (typed F1
+  * 0.604 vs the MNB arm's 0.537, BASELINE.md; the python ablation twin
+  * read 0.630 vs 0.544): the discriminative update down-weights the
   * noisy mid-window unigrams the generative bag could only survive by
   * truncation, and makes mid bigrams usable (they overfit under MNB).
   *

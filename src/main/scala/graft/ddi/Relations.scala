@@ -81,11 +81,28 @@ object Relations {
       e1: GoldSpan,
       e2: GoldSpan,
       otherEnts: Seq[GoldSpan] = Nil
+  ): Seq[String] =
+    pairFeatures(toks, lowerForms(toks), e1, e2, otherEnts)
+
+  /** One lower-cased form per token — compute ONCE per sentence and
+    * share across its candidate pairs (an enumeration sentence yields
+    * O(entities²) pairs; re-lowercasing the whole sentence per pair was
+    * measurable on the fused scoring hot path).
+    */
+  def lowerForms(toks: IndexedSeq[Tok]): IndexedSeq[String] =
+    toks.map(_.form.toLowerCase(java.util.Locale.ROOT))
+
+  def pairFeatures(
+      toks: IndexedSeq[Tok],
+      lc: IndexedSeq[String],
+      e1: GoldSpan,
+      e2: GoldSpan,
+      otherEnts: Seq[GoldSpan]
   ): Seq[String] = {
     val (lo, hi) = if (e1.start <= e2.start) (e1, e2) else (e2, e1)
-    val mid = toks.filter(t => t.start > lo.end && t.end < hi.start)
-    val before = toks.filter(_.end < lo.start).takeRight(3)
-    val after = toks.filter(_.start > hi.end).take(3)
+    val midIdx = toks.indices.filter(i => toks(i).start > lo.end && toks(i).end < hi.start)
+    val befIdx = toks.indices.filter(i => toks(i).end < lo.start).takeRight(3)
+    val aftIdx = toks.indices.filter(i => toks(i).start > hi.end).take(3)
     // Feature ablations (DebugDdi + the round-3 python twin, devel
     // typed F1, perceptron model): entity-surface lexemes, etype-pair,
     // cue x etype conjunctions, and 4-token outer windows all
@@ -95,7 +112,7 @@ object Relations {
     // structural buckets below. (Under the earlier generative MNB the
     // optimum differed: bigrams overfit and mid needed a 12-token cap.)
     val b = Vector.newBuilder[String]
-    val midl = mid.map(_.form.toLowerCase(java.util.Locale.ROOT))
+    val midl = midIdx.map(lc)
     midl.foreach(w => b += ("mid=" + w))
     // mid bigrams: usable under the discriminative perceptron (they
     // overfit the generative MNB — round-1 ablation); likewise the
@@ -106,9 +123,9 @@ object Relations {
     while (bi < midl.length - 1) {
       b += ("mbi=" + midl(bi) + "_" + midl(bi + 1)); bi += 1
     }
-    before.foreach(t => b += ("bef=" + t.form.toLowerCase(java.util.Locale.ROOT)))
-    after.foreach(t => b += ("aft=" + t.form.toLowerCase(java.util.Locale.ROOT)))
-    b += ("ndist=" + distBucket(mid.length))
+    befIdx.foreach(i => b += ("bef=" + lc(i)))
+    aftIdx.foreach(i => b += ("aft=" + lc(i)))
+    b += ("ndist=" + distBucket(midIdx.length))
     b += ("e1t=" + lo.etype)
     b += ("e2t=" + hi.etype)
     // negation between the entities flips/voids most interaction cues
@@ -123,13 +140,12 @@ object Relations {
     if (e1.start > e2.start) b += "inv=1"
     // class trigger cues at three scopes: between the pair (+ distance
     // conjunction), the 3-token outer windows, the whole sentence
-    val wl = (before ++ after).map(_.form.toLowerCase(java.util.Locale.ROOT))
-    val sl = toks.map(_.form.toLowerCase(java.util.Locale.ROOT))
-    val d = distBucket(mid.length)
+    val wl = (befIdx ++ aftIdx).map(lc)
+    val d = distBucket(midIdx.length)
     CueClasses.foreach { case (name, cs) =>
       if (midl.exists(cs)) { b += s"m_cue$name=1"; b += s"m_cue${name}_d=$d" }
       if (wl.exists(cs)) b += s"w_cue$name=1"
-      if (sl.exists(cs)) b += s"s_cue$name=1"
+      if (lc.exists(cs)) b += s"s_cue$name=1"
     }
     // same surface on both sides: 1478 none vs 5 positive in train —
     // also enforced as a hard rule at predict time
@@ -137,9 +153,9 @@ object Relations {
         hi.text.toLowerCase(java.util.Locale.ROOT)) b += "samedrug=1"
     // enumeration shape: every mid token is a conjunction/punct or part
     // of an annotated entity (6914 none vs 273 positive in train)
-    if (mid.nonEmpty && mid.forall(t =>
-        CoordForms.contains(t.form.toLowerCase(java.util.Locale.ROOT)) ||
-          otherEnts.exists(o => t.start >= o.start && t.end <= o.end)))
+    if (midIdx.nonEmpty && midIdx.forall(i =>
+        CoordForms.contains(lc(i)) ||
+          otherEnts.exists(o => toks(i).start >= o.start && toks(i).end <= o.end)))
       b += "coord=1"
     b.result()
   }
@@ -157,6 +173,7 @@ object Relations {
       if (s.pairs.isEmpty) Iterator.empty
       else {
         val toks = Tokenize.tokenize(s.text)
+        val lc = lowerForms(toks) // once per sentence, shared by its pairs
         val byId = s.entities.map(e => e.entityId -> e).toMap
         s.pairs.iterator.flatMap { p =>
           for (e1 <- byId.get(p.e1); e2 <- byId.get(p.e2)) yield PairExample(
@@ -164,7 +181,7 @@ object Relations {
             s.sid,
             p.e1,
             p.e2,
-            pairFeatures(toks, e1, e2, s.entities),
+            pairFeatures(toks, lc, e1, e2, s.entities),
             // typeless ddi="true" (0 in the reference corpus, legal in
             // the schema) trains toward "" — the SAME label goldDdi keys
             // such a pair with, so prediction and gold can actually meet
@@ -176,7 +193,7 @@ object Relations {
   }
 
   /** Fit the DDI classifier: averaged perceptron over pair features
-    * (round 3 — devel typed F1 0.63 vs the MNB's 0.54, BASELINE.md).
+    * (round 3 — devel typed F1 0.604 vs the MNB arm's 0.537, BASELINE.md).
     * Examples are collected to the driver SORTED by (sid, e1, e2) —
     * the perceptron is order-dependent, so the stream order must be
     * independent of partitioning (same determinism discipline as the

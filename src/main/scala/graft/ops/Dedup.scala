@@ -42,9 +42,14 @@ object Dedup {
     acc
   }
 
-  /** Mega-buckets hit by the LAST call of `op` ("lsh" | "simhash") in
-    * this JVM, counted once the returned frame has been materialized.
-    * 0 = no degradation: the result is exact.
+  /** Mega-buckets hit by the LAST [[lshCandidates]]/[[simhashNearDup]]
+    * call of `op` ("lsh" | "simhash") in this JVM. 0 = no degradation:
+    * the result is exact. Standard accumulator-in-transformation
+    * caveats apply: the count is PER MATERIALIZATION — read it after
+    * exactly one action on the returned frame (a second action, stage
+    * retry, or speculative task re-executes the flatMap and adds
+    * again), and a later call to the same op replaces the registry
+    * entry. It is an observability signal, not an exact metric.
     */
   def megaBucketCount(op: String): Long =
     Option(megaCounters.get(op)).map(_.value.longValue).getOrElse(0L)
@@ -167,9 +172,13 @@ object Dedup {
     * PREDICTABLY to star-shaped pairs (every member paired with the
     * bucket's min doc_id): O(bucket) output instead of O(bucket²), so
     * one degenerate signature cannot OOM a task or emit 10^13 rows.
-    * Stars preserve connected-components exactly — [[nearDupClusters]]
-    * is unchanged — while per-pair listings lose only the intra-bucket
-    * non-hub pairs; each degradation increments the
+    * Degradation semantics, stated exactly: every member of a mega
+    * bucket stays connected through the hub, so [[nearDupClusters]] at
+    * its default `minBands = 1` produces IDENTICAL components; per-pair
+    * listings lose the intra-bucket non-hub pairs, and a mega band
+    * contributes at most 1 to `n_shared_bands` of a non-hub pair — so a
+    * `minBands >= 2` caller may lose edges whose extra support came
+    * only from mega bands. Each degradation increments the
     * `graft.dedup.megaBuckets.lsh` accumulator ([[megaBucketCount]]).
     */
   def lshCandidates(
@@ -256,6 +265,10 @@ object Dedup {
     * (32k buckets per band), so bucket sizes — and the join fan-out —
     * stay tiny. (A 16-bit fingerprint was measured 12x slower at sf0.1:
     * 16 buckets/band turn the bucket join quadratic.)
+    *
+    * Losslessness holds while every bucket fits `maxBucket`; a mega
+    * bucket degrades to hub-star pairs (see the guard note inside) and
+    * increments `graft.dedup.megaBuckets.simhash`.
     */
   def simhashNearDup(
       docs: DataFrame,
@@ -295,7 +308,13 @@ object Dedup {
         val s = members.sortBy(_._1)
         if (s.length > maxBucket) {
           // mega-bucket guard (see lshCandidates): star pairs against
-          // the min-id hub, O(bucket) instead of O(bucket²)
+          // the min-id hub, O(bucket) instead of O(bucket²). Unlike the
+          // LSH star, hub pairs are still hamming-filtered, so members
+          // near each other but > maxHamming from the hub lose this
+          // band's pair (they may still pair via another band). In
+          // practice a mega bucket is byte-identical boilerplate —
+          // hamming 0 to the hub — so the loss is theoretical; the
+          // counter makes the degradation observable either way.
           mega.add(1L)
           val (hub, hubSh) = s.head
           s.iterator.drop(1).flatMap { case (b, bSh) =>

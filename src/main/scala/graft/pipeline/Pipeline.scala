@@ -238,11 +238,12 @@ object Pipeline {
         val ms = Decode.decode(s.sid, tagged)
 
         val byId = s.entities.iterator.map(e => e.entityId -> e).toMap
+        lazy val lcForms = Relations.lowerForms(toks) // shared by the sentence's pairs
         val rels = s.pairs.flatMap { p =>
           for {
             e1 <- byId.get(p.e1)
             e2 <- byId.get(p.e2)
-            feats = Relations.pairFeatures(toks, e1, e2, s.entities)
+            feats = Relations.pairFeatures(toks, lcForms, e1, e2, s.entities)
             dtype = Relations.decide(m.ddi, feats)
             if dtype != "none"
           } yield Relation(s.sid, p.e1, p.e2, dtype)

@@ -32,11 +32,16 @@ class DocsSyncSpec extends AnyFunSuite {
   }
 
   test("README spec count matches the registered test total") {
-    val testRe = """^\s*test\("""".r
-    val specs = Files.walk(Paths.get("src", "test")).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala"))
-      .map(p => Files.readAllLines(p).asScala.count(l => testRe.findFirstIn(l).isDefined))
-      .sum
+    // also matches test(s"...") interpolated names; walk stream closed
+    // (it holds DirectoryStreams for the whole tree otherwise)
+    val testRe = """^\s*test\(s?"""".r
+    val walk = Files.walk(Paths.get("src", "test"))
+    val specs =
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".scala"))
+        .map(p => Files.readAllLines(p).asScala.count(l => testRe.findFirstIn(l).isDefined))
+        .sum
+      finally walk.close()
     assert(claimed("""sbt -batch test\s+# (\d+) specs""") == specs,
       s"README spec count != registered test count ($specs)")
   }
