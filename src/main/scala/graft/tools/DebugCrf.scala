@@ -31,15 +31,21 @@ object DebugCrf {
     val test = load("/root/reference/data/test")
 
     val (gazMap, gazN) = Train.buildGazetteer(spark, train)
+    // optional second arg: c2 override (measure-only sweeps; the shipped
+    // default stays the reference's l2sgd c2=0.1 for A6 parity)
+    val c2 = args.lift(1).map(_.toDouble).getOrElse(0.1)
     for (epochs <- args.headOption.map(e => Seq(e.toInt)).getOrElse(Seq(10, 30))) {
       val t0 = System.nanoTime()
-      val params = Train.fitCrf(spark, train, epochs = epochs)
+      val params = Train.fitCrf(spark, train, c2 = c2, epochs = epochs)
       val fitSec = (System.nanoTime() - t0) / 1e9
-      val distParams = Train.fitCrfDistributed(
+      lazy val distParams = Train.fitCrfDistributed(
         spark, train, epochs = epochs, parts = 8)
       val gs = new GazetteerScorer(gazMap, gazN)
       lazy val gazFeatParams = Train.fitCrf(spark, train, epochs = epochs, gazFeat = Some(gs))
-      for (variant <- Seq("crf", "gaz+crf", "crf_gazfeat", "crf_dist8")) {
+      // c2 sweeps measure the plain-CRF arm only
+      val variants =
+        if (c2 == 0.1) Seq("crf", "gaz+crf", "crf_gazfeat", "crf_dist8") else Seq("crf")
+      for (variant <- variants) {
       val crf: MentionScorer = new CrfScorer(params)
       val scorer: MentionScorer = variant match {
         case "crf"         => crf
