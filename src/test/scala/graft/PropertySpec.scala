@@ -142,6 +142,66 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: perceptron weight rows are zero-sum, fit deterministic, decide total") {
+    import graft.ddi.{Perceptron, Relations}
+    // every update adds +c to the true class and -c to the predicted one
+    // in the SAME feature row, and the lazy-average accumulator mirrors
+    // it — so each (raw and averaged) weight row must sum to 0
+    val feat: Gen[String] = Gen.oneOf("a", "b", "c", "d", "e").map("f=" + _)
+    val exGen: Gen[IndexedSeq[(Seq[String], String)]] = for {
+      n <- Gen.choose(0, 30)
+      xs <- Gen.listOfN(n, for {
+        k <- Gen.choose(1, 4)
+        fs <- Gen.listOfN(k, feat)
+        y <- Gen.oneOf("none", "effect", "advise", "int")
+      } yield (fs: Seq[String], y))
+    } yield xs.toIndexedSeq
+    check(Prop.forAll(exGen) { xs =>
+      val p1 = Perceptron.fit(xs, epochs = 3)
+      val p2 = Perceptron.fit(xs, epochs = 3)
+      val zeroSum = p1.weights.values.forall(w =>
+        math.abs(w.sum) <= 1e-9 * (1.0 + w.map(math.abs).sum))
+      val deterministic = p1.classes.sameElements(p2.classes) &&
+        p1.weights.keySet == p2.weights.keySet &&
+        p1.weights.forall { case (f, w) => w.sameElements(p2.weights(f)) }
+      val d = Relations.decide(p1, xs.headOption.map(_._1).getOrElse(Seq("f=unseen")))
+      val total = d == "none" || p1.classes.contains(d)
+      zeroSum && deterministic && total
+    })
+  }
+
+  test("property: pairFeatures is total, deterministic, and lowercases lexical features") {
+    import graft.ddi.Relations
+    val mixedWord: Gen[String] =
+      Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaChar).map(_.mkString))
+    val gen = for {
+      n <- Gen.choose(2, 12)
+      words <- Gen.listOfN(n, mixedWord)
+      i <- Gen.choose(0, n - 2)
+      j <- Gen.choose(i + 1, n - 1)
+      t1 <- Gen.oneOf(etypes)
+      t2 <- Gen.oneOf(etypes)
+    } yield (words, i, j, t1, t2)
+    check(Prop.forAll(gen) { case (words, i, j, t1, t2) =>
+      val text = words.mkString(" ")
+      def span(k: Int, t: String, id: String): GoldSpan = {
+        val start = words.take(k).map(_.length + 1).sum
+        val end = start + words(k).length - 1
+        GoldSpan(id, start, end, t, words(k), s"$start-$end")
+      }
+      val (e1, e2) = (span(i, t1, "e0"), span(j, t2, "e1"))
+      val toks = Tokenize.tokenize(text)
+      val f1 = Relations.pairFeatures(toks, e1, e2, Seq(e1, e2))
+      val f2 = Relations.pairFeatures(toks, Relations.lowerForms(toks), e1, e2, Seq(e1, e2))
+      val lexical = f1.filter(x => Seq("mid=", "bef=", "aft=", "mbi=").exists(x.startsWith))
+      f1 == f2 &&
+        f1.count(_.startsWith("ndist=")) == 1 &&
+        f1.count(_.startsWith("e1t=")) == 1 &&
+        f1.count(_.startsWith("e2t=")) == 1 &&
+        lexical.forall(x => x == x.toLowerCase(java.util.Locale.ROOT))
+    })
+  }
+
   test("property: CRF Viterbi equals exhaustive argmax on small chains") {
     import graft.ner.Crf
     // random tiny training sets -> random fitted weights; then Viterbi
