@@ -191,10 +191,18 @@ class PropertySpec extends AnyFunSuite {
       }
       val (e1, e2) = (span(i, t1, "e0"), span(j, t2, "e1"))
       val toks = Tokenize.tokenize(text)
+      val lexPrefix = Seq("mid=", "bef=", "aft=", "mbi=")
       val f1 = Relations.pairFeatures(toks, e1, e2, Seq(e1, e2))
-      val f2 = Relations.pairFeatures(toks, Relations.lowerForms(toks), e1, e2, Seq(e1, e2))
-      val lexical = f1.filter(x => Seq("mid=", "bef=", "aft=", "mbi=").exists(x.startsWith))
-      f1 == f2 &&
+      val lexical = f1.filter(x => lexPrefix.exists(x.startsWith))
+      // sensitivity: the lc argument is genuinely what lexical features
+      // read from — raw (un-lowered) forms must change them whenever a
+      // window word carries case (catches a future refactor that
+      // silently stops honoring the hoisted array)
+      val fRaw = Relations.pairFeatures(toks, toks.map(_.form), e1, e2, Seq(e1, e2))
+      val rawLex = fRaw.filter(x => lexPrefix.exists(x.startsWith))
+      val caseSensitive =
+        rawLex.forall(x => x == x.toLowerCase(java.util.Locale.ROOT)) || fRaw != f1
+      caseSensitive &&
         f1.count(_.startsWith("ndist=")) == 1 &&
         f1.count(_.startsWith("e1t=")) == 1 &&
         f1.count(_.startsWith("e2t=")) == 1 &&
