@@ -74,16 +74,16 @@ object DebugDdi {
     println(f"devel P=$dp%.3f R=$dr%.3f F1=$df%.3f")
     if (args.contains("TEST")) {
       val test = load("/root/reference/data/test")
-      val (xp, xr, xf) = f1On(test, margins)
-      println(f"TEST  P=$xp%.3f R=$xr%.3f F1=$xf%.3f   (final report — not a tuning signal)")
-      if (args.contains("VERBOSE")) {
-        // per-class diagnosis (where the remaining gap to task-best lives)
-        val rels = Relations.predict(spark, test, params, margins)
-        Evaluator.evalRows(spark, Pipeline.goldDdi(spark, test), Pipeline.predDdi(spark, rels))
-          .filterNot(r => r.kind == "CLASS" || r.kind == "NOCLASS")
+      // one eval pass: the CLASS headline and the per-class diagnosis
+      // come from the same row set
+      val rels = Relations.predict(spark, test, params, margins)
+      val rows = Evaluator.evalRows(spark, Pipeline.goldDdi(spark, test), Pipeline.predDdi(spark, rels))
+      val cls = rows.find(_.kind == "CLASS").get
+      println(f"TEST  P=${cls.p}%.3f R=${cls.r}%.3f F1=${cls.f1}%.3f   (final report — not a tuning signal)")
+      if (args.contains("VERBOSE"))
+        rows.filterNot(r => r.kind == "CLASS" || r.kind == "NOCLASS")
           .foreach(r => println(
             f"  ${r.kind}%-10s tp=${r.tp}%4d fp=${r.fp}%4d fn=${r.fn}%4d P=${r.p}%.3f R=${r.r}%.3f F1=${r.f1}%.3f"))
-      }
     }
     spark.stop()
   }

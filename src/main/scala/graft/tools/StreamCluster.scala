@@ -57,21 +57,32 @@ object StreamCluster {
         repos.foreach { r =>
           val tmp = java.nio.file.Files.createTempDirectory("prep").toString
           corpus.filter(col("repo") === r).coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-            .iterator()
-          var moved = false
-          while (part.hasNext && !moved) {
-            val p = part.next()
-            if (p.toString.endsWith(".parquet")) {
-              java.nio.file.Files.move(p,
-                java.nio.file.Paths.get(srcDir, java.net.URLEncoder.encode(r, "UTF-8") + ".parquet"))
-              moved = true
-            }
-          }
+          val listing = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+          val moved = // close the stream: it holds a directory fd
+            try {
+              val part = listing.iterator()
+              var done = false
+              while (part.hasNext && !done) {
+                val p = part.next()
+                if (p.toString.endsWith(".parquet")) {
+                  java.nio.file.Files.move(p,
+                    java.nio.file.Paths.get(srcDir, java.net.URLEncoder.encode(r, "UTF-8") + ".parquet"))
+                  done = true
+                }
+              }
+              done
+            } finally listing.close()
           require(moved, s"no parquet part written for repo $r")
         }
         val total = expected.map(_._2).sum
-        val body = expected.map { case (r, n) => s""""$r":$n""" }.mkString("{", ",", "}")
+        // repo ids are arbitrary strings — escape them like Resume does
+        def jsonStr(x: String): String = "\"" + x.flatMap {
+          case '"'          => "\\\""
+          case '\\'         => "\\\\"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c            => c.toString
+        } + "\""
+        val body = expected.map { case (r, n) => s"${jsonStr(r)}:$n" }.mkString("{", ",", "}")
         java.nio.file.Files.writeString(java.nio.file.Paths.get(expectedJson),
           s"""{"total":$total,"per_repo":$body}""")
         println(s"""{"prep_repos":${repos.length},"expected_triples":$total}""")

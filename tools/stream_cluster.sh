@@ -38,7 +38,6 @@ set +e
 # driver JVM (kill on the wrapper pid alone leaves java draining the
 # stream to completion — a vacuous "crash")
 setsid bash -c '
-  source tools/cluster_lib.sh >/dev/null 2>&1
   exec "'"$SPARK"'"/bin/spark-submit --master spark://127.0.0.1:7077 \
     --class graft.tools.StreamCluster \
     --driver-memory 3g --executor-memory 3g \
@@ -86,3 +85,4 @@ print(json.dumps({"stream_ok": True, "triples": got["triples_in_table"],
                   "repos": got["repos_in_table"], "expected": exp["total"]}))
 EOF
 echo "STREAM OK: driver crashed mid-stream, restart delivered exactly-once (table == batch ground truth)"
+rm -rf "$BASE" # keep /tmp clean on success (left in place on failure for debugging)
