@@ -357,6 +357,32 @@ SELECT node, min(comp) AS comp FROM r GROUP BY node)"""
     "kg_eval_ddi" -> evalOracle(
       s"sid || '|' || e1 || '|' || e2 AS einfo, dtype AS etype FROM ${dump("kg_gold_pairs")}",
       s"sid || '|' || e1 || '|' || e2 AS einfo, interactionPred AS etype FROM ${dump("kg_triples")}"),
+    // Dump-replay oracle for the W1/S5 feature stage (same pattern as
+    // kg_eval_ner_crf): rebuild the `features` tail in pure SQL from the
+    // dump's scalar columns — suf3= recomputed from form= (Python
+    // word[-3:] semantics), formPrev/suf3Prev/formNext/suf3Next taken
+    // from the sid-partitioned start-ordered neighbors, BoS/EoS at
+    // sentence edges (ml/extract-features.py:59-95 emission order). A
+    // dump whose feature strings are inconsistent with its own token
+    // stream hash-mismatches this reconstruction.
+    "kg_feature_rows" ->
+      s"""WITH t AS (
+SELECT sid, form, "start", "end", tag, features,
+  lag(form)  OVER (PARTITION BY sid ORDER BY "start") AS pf,
+  lead(form) OVER (PARTITION BY sid ORDER BY "start") AS nf
+FROM ${dump("kg_feature_rows")}),
+s AS (SELECT *,
+  CASE WHEN length(form) <= 3 THEN form ELSE substr(form, length(form) - 2, 3) END AS s3,
+  CASE WHEN length(pf) <= 3 THEN pf ELSE substr(pf, length(pf) - 2, 3) END AS ps3,
+  CASE WHEN length(nf) <= 3 THEN nf ELSE substr(nf, length(nf) - 2, 3) END AS ns3
+FROM t)
+SELECT sid, form, "start", "end", tag,
+  'form=' || form || chr(9) || 'suf3=' || s3 || chr(9) ||
+  CASE WHEN pf IS NULL THEN 'BoS'
+       ELSE 'formPrev=' || pf || chr(9) || 'suf3Prev=' || ps3 END || chr(9) ||
+  CASE WHEN nf IS NULL THEN 'EoS'
+       ELSE 'formNext=' || nf || chr(9) || 'suf3Next=' || ns3 END AS features
+FROM s""",
     // Canonicalize.variants + min-label CC replayed in SQL: same string
     // rewrites (paren strip, squash, hyphen drop, deplural), same
     // surface<->variant bipartite edges, same canonical = lexicographic
