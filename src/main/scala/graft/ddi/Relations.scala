@@ -199,6 +199,13 @@ object Relations {
     * independent of partitioning (same determinism discipline as the
     * CRF train stream, `ner/Train.fitCrf`). Model-bounded like the CRF
     * fit: the pair stream of a training corpus, not the scored data.
+    *
+    * Driver-memory bound: the collect ships every training pair WITH
+    * its feature strings — fine for annotation-sized corpora (training
+    * sets don't scale with the scored corpus), but a training stream
+    * that outgrows driver heap should use [[fitDistributed]], which
+    * fits partition-local models and averages (measured trade: about
+    * −4.6 test F1 at 4 partitions, BASELINE.md).
     */
   def fit(spark: SparkSession, sents: Dataset[ParsedSentence]): Perceptron.PerceptronParams = {
     import spark.implicits._

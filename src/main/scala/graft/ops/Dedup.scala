@@ -30,29 +30,69 @@ object Dedup {
     */
   val DefaultMaxBucket = 4096
 
-  /** Mega-bucket counters (named LongAccumulators, one per op call —
-    * visible in the Spark UI; the registry keeps the latest per op name
-    * so specs and operators can assert on degradation).
+  /** Mega-bucket observations — one [[org.apache.spark.sql.Observation]]
+    * per op call, attached to the bucket frame via `Dataset.observe`, so
+    * the count is ACTION-SCOPED AND EXACT: observed metrics are
+    * de-duplicated under task retries and speculative attempts, and the
+    * handle captures the FIRST action on the returned frame only (a
+    * second action cannot inflate it). The registry keeps the latest
+    * handle per op name for [[megaBucketCount]]; a caller that needs its
+    * own counter (two concurrent calls of the same op) passes its own
+    * `Observation` via the `megaObs` parameter and reads that handle
+    * directly.
     */
-  private val megaCounters =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.util.LongAccumulator]()
-  private def megaCounter(spark: org.apache.spark.sql.SparkSession, op: String) = {
-    val acc = spark.sparkContext.longAccumulator(s"graft.dedup.megaBuckets.$op")
-    megaCounters.put(op, acc)
-    acc
+  private val megaObsRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Observation]()
+  private val megaObsSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def megaObservation(op: String, provided: Option[org.apache.spark.sql.Observation]) = {
+    val obs = provided.getOrElse(
+      org.apache.spark.sql.Observation(
+        s"graft.dedup.megaBuckets.$op.${megaObsSeq.incrementAndGet()}"))
+    megaObsRegistry.put(op, obs)
+    obs
   }
+  private def megaMetric(sizeCol: Column, maxBucket: Int): Column =
+    sum(when(sizeCol > maxBucket, 1L).otherwise(0L)).as("megaBuckets")
 
-  /** Mega-buckets hit by the LAST [[lshCandidates]]/[[simhashNearDup]]
-    * call of `op` ("lsh" | "simhash") in this JVM. 0 = no degradation:
-    * the result is exact. Standard accumulator-in-transformation
-    * caveats apply: the count is PER MATERIALIZATION — read it after
-    * exactly one action on the returned frame (a second action, stage
-    * retry, or speculative task re-executes the flatMap and adds
-    * again), and a later call to the same op replaces the registry
-    * entry. It is an observability signal, not an exact metric.
+  /** Executor-side warning when the mega-bucket guard fires, so the
+    * degradation is visible in task logs (not just the metric): states
+    * the bucket size and, for simhash, that non-hub members farther
+    * than maxHamming from the hub lose this band's pair (see the guard
+    * notes in [[lshCandidates]]/[[simhashNearDup]]).
     */
-  def megaBucketCount(op: String): Long =
-    Option(megaCounters.get(op)).map(_.value.longValue).getOrElse(0L)
+  private def warnMega(op: String, bucketSize: Int, maxBucket: Int): Unit =
+    org.slf4j.LoggerFactory
+      .getLogger("graft.ops.Dedup")
+      .warn(
+        s"mega-bucket guard fired (op=$op size=$bucketSize max=$maxBucket): " +
+          "degrading to hub-star pairs; per-pair output is incomplete for this bucket")
+
+  /** Mega-buckets hit by the first action on the frame returned by the
+    * LAST [[lshCandidates]]/[[simhashNearDup]] call of `op`
+    * ("lsh" | "simhash") in this JVM. 0 = no degradation: the result is
+    * exact. Exact under stage retries / speculation / repeated actions
+    * (observe-based, see [[megaObsRegistry]]); polls briefly because
+    * observed metrics arrive via an async listener. Returns 0 if no
+    * action has run yet. Latest-call-wins per op name — concurrent
+    * callers should pass their own `megaObs` handle instead.
+    */
+  def megaBucketCount(op: String): Long = {
+    val obs = megaObsRegistry.get(op)
+    if (obs == null) return 0L
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (System.nanoTime() < deadline) {
+      obs.future.value match {
+        case Some(scala.util.Success(row)) =>
+          return row.getAs[Any]("megaBuckets") match {
+            case v: java.lang.Number => v.longValue
+            case _                   => 0L
+          }
+        case Some(scala.util.Failure(_)) => return 0L
+        case None                        => Thread.sleep(20)
+      }
+    }
+    0L
+  }
 
   /** Exact duplicate groups: digest → group size + representative
     * (min doc_id). `keep_id` is the survivor a dedup pass would keep.
@@ -186,11 +226,12 @@ object Dedup {
       bands: Int = 8,
       k: Int = 3,
       fast: Boolean = false,
-      maxBucket: Int = DefaultMaxBucket
+      maxBucket: Int = DefaultMaxBucket,
+      megaObs: Option[org.apache.spark.sql.Observation] = None
   ): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val mega = megaCounter(spark, "lsh")
+    val obs = megaObservation("lsh", megaObs)
     val sig =
       if (fast) minhashSignaturesFast(docs, bands, k)
       else minhashSignatures(docs, bands, k)
@@ -198,12 +239,13 @@ object Dedup {
       .groupBy(col("band"), col("sig"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
+      .observe(obs, megaMetric(size(col("ids")), maxBucket))
       .select(col("ids"))
       .as[Seq[Long]]
       .flatMap { ids =>
         val s = ids.sorted
         if (s.length > maxBucket) {
-          mega.add(1L)
+          warnMega("lsh", s.length, maxBucket)
           val hub = s.head
           s.iterator.drop(1).map(b => (hub, b))
         } else
@@ -227,6 +269,12 @@ object Dedup {
     * by near-dup graph size — a tiny fraction of the corpus); doc ids
     * travel zero-padded so lexicographic min == numeric min in both
     * this engine and the DuckDB oracle.
+    *
+    * Mega-bucket caveat: at the default `minBands = 1` the guard's
+    * hub-star degradation preserves components exactly (every member
+    * stays hub-connected); with `minBands >= 2` an edge whose extra
+    * band support came only from mega buckets can be lost — watch
+    * [[megaBucketCount]]("lsh") when raising `minBands`.
     */
   def nearDupClusters(
       spark: org.apache.spark.sql.SparkSession,
@@ -274,7 +322,8 @@ object Dedup {
       docs: DataFrame,
       maxHamming: Int = 3,
       bits: Int = 60,
-      maxBucket: Int = DefaultMaxBucket
+      maxBucket: Int = DefaultMaxBucket,
+      megaObs: Option[org.apache.spark.sql.Observation] = None
   ): DataFrame = {
     val bands = maxHamming + 1
     require(bits % bands == 0, s"bits=$bits must split into ${bands} equal bands")
@@ -284,7 +333,7 @@ object Dedup {
     // earlier banded self-join planned it once per side)
     val spark = docs.sparkSession
     import spark.implicits._
-    val mega = megaCounter(spark, "simhash")
+    val obs = megaObservation("simhash", megaObs)
     val sh = TextOps.simhash(docs, bits)
     val banded = sh.select(
       col("doc_id"),
@@ -299,6 +348,7 @@ object Dedup {
       .groupBy(col("band"), col("key"))
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
       .filter(size(col("members")) > 1)
+      .observe(obs, megaMetric(size(col("members")), maxBucket))
       .select(col("members"))
       .as[Seq[(Long, Long)]]
       .flatMap { members =>
@@ -315,7 +365,7 @@ object Dedup {
           // practice a mega bucket is byte-identical boilerplate —
           // hamming 0 to the hub — so the loss is theoretical; the
           // counter makes the degradation observable either way.
-          mega.add(1L)
+          warnMega("simhash", s.length, maxBucket)
           val (hub, hubSh) = s.head
           s.iterator.drop(1).flatMap { case (b, bSh) =>
             val h = java.lang.Long.bitCount(hubSh ^ bSh)

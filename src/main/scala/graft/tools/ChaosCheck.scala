@@ -28,7 +28,9 @@ object ChaosCheck {
     require(execsStart >= 2,
       s"need >= 2 executors for a meaningful chaos test, have $execsStart")
     val (cm, ct, cleanSec) = ClusterBench.pass(ctx)
-    println("CHAOS-READY") // harness kills one executor shortly after this
+    // app id lets the harness scope its pgrep to THIS app's executors —
+    // a concurrent Spark app's executor must never be the chaos victim
+    println(s"CHAOS-READY app=${ctx.spark.sparkContext.applicationId}")
     System.out.flush()
     Thread.sleep(1000)
     val (dm, dt, chaosSec) = ClusterBench.pass(ctx)

@@ -37,14 +37,17 @@ object ClusterBench {
     spark.sparkContext.setLogLevel("WARN")
 
     def execs(): Int = spark.sparkContext.statusTracker.getExecutorInfos.length - 1
+    // BOTH branches wait for a registered executor: defaultParallelism
+    // floors at 2 before any executor registers, so for expectCores <= 2
+    // the cores check alone is vacuously true on an empty cluster
     val deadline = System.nanoTime() + 60L * 1000000000L
-    while ((if (expectCores > 0) spark.sparkContext.defaultParallelism < expectCores
-            else execs() < 1) && System.nanoTime() < deadline) Thread.sleep(500)
+    while ((execs() < 1 ||
+            (expectCores > 0 && spark.sparkContext.defaultParallelism < expectCores)) &&
+           System.nanoTime() < deadline) Thread.sleep(500)
     val cores = spark.sparkContext.defaultParallelism
     require(expectCores == 0 || cores >= expectCores,
       s"only $cores cores registered, expected $expectCores")
-    require(expectCores > 0 || execs() >= 1,
-      "no executor registered within 60s")
+    require(execs() >= 1, "no executor registered within 60s")
 
     val train = Pipeline.parse(spark, DocGen.corpus(spark, 500, seed = 7L)).cache()
     train.count()

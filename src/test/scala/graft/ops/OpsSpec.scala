@@ -210,9 +210,12 @@ class OpsSpec extends AnyFunSuite {
     val d = spark.range(1, n + 1)
       .select(col("id").as("doc_id"), lit("w1 w2 w3 w4 w5 w6").as("text"))
     val pairs = Dedup.lshCandidates(d, fast = true, maxBucket = 1000)
-    // ONE action: accumulators re-count if the DAG is recomputed
     val rows = pairs.collect()
     assert(Dedup.megaBucketCount("lsh") == 8L, "all 8 band buckets counted as mega")
+    // observe-based counter is action-scoped: a SECOND action (full DAG
+    // recompute) must NOT inflate it — the old accumulator plumbing did.
+    pairs.count()
+    assert(Dedup.megaBucketCount("lsh") == 8L, "second action inflated the counter")
     assert(rows.length == (n - 1).toInt, "one star pair per non-hub member")
     assert(rows.forall(_.getLong(0) == 1L),
       "every pair must hang off the min-id hub (CC preserved)")

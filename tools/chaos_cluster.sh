@@ -32,9 +32,17 @@ rm -f "$OUT" "$KILLED"
         echo "[chaos] pass finished before the kill — corpus too small" >&2
         exit 0
       fi
-      PID=$(pgrep -f CoarseGrainedExecutorBackend | head -1)
+      # scope the kill to THIS app's executors (ChaosCheck prints its
+      # app id) — never a concurrent Spark app's executor. No app id =
+      # no kill: the main script then fails on the missing $KILLED file.
+      APPID=$(grep -o 'CHAOS-READY app=[^ ]*' "$OUT" 2>/dev/null | head -1 | cut -d= -f2 || true)
+      if [ -z "$APPID" ]; then
+        echo "[chaos] no app id in CHAOS-READY line — refusing an unscoped kill" >&2
+        exit 0
+      fi
+      PID=$(pgrep -f "CoarseGrainedExecutorBackend.*$APPID" | head -1 || true)
       if [ -n "$PID" ]; then
-        echo "[chaos] SIGKILL executor pid $PID" >&2
+        echo "[chaos] SIGKILL executor pid $PID (app $APPID)" >&2
         kill -9 "$PID" && echo "$PID" > "$KILLED"
       fi
       exit 0
