@@ -39,19 +39,26 @@ object Perceptron {
   /** Fit on an ordered example stream. `positiveCost` scales the update
     * when the TRUE label is not `reject` — the standard cost-sensitive
     * counter to the ~87% none-class imbalance of the DDI pair stream.
-    * The averaged weights are w_final = w - acc/t with t advancing once
-    * per example across all epochs (Collins' lazy-average trick).
+    * `classCost` multiplies the cost further for specific true classes
+    * (cost-sensitive multiclass, e.g. an extra factor for a rare class);
+    * empty = all 1.0, behavior unchanged. The averaged weights are
+    * w_final = w - acc/t with t advancing once per example across all
+    * epochs (Collins' lazy-average trick).
     */
   def fit(
       examples: IndexedSeq[(Seq[String], String)],
       epochs: Int = 5,
       positiveCost: Double = 2.0,
-      reject: String = "none"
+      reject: String = "none",
+      classCost: Map[String, Double] = Map.empty
   ): PerceptronParams = {
     val classes = examples.map(_._2).distinct.sorted.toArray
     if (classes.isEmpty) return PerceptronParams(classes, Map.empty)
     val ci = classes.zipWithIndex.toMap
     val nc = classes.length
+    val costOf = Array.tabulate(nc)(i =>
+      (if (classes(i) != reject) positiveCost else 1.0) *
+        classCost.getOrElse(classes(i), 1.0))
     val w = scala.collection.mutable.HashMap.empty[String, Array[Double]]
     val acc = scala.collection.mutable.HashMap.empty[String, Array[Double]]
     var t = 1L
@@ -72,7 +79,7 @@ object Perceptron {
         var i = 1
         while (i < nc) { if (s(i) > s(yhat)) yhat = i; i += 1 }
         if (yhat != y) {
-          val c = if (classes(y) != reject) positiveCost else 1.0
+          val c = costOf(y)
           fs.foreach { f =>
             val ww = w.getOrElseUpdate(f, new Array[Double](nc))
             val aa = acc.getOrElseUpdate(f, new Array[Double](nc))

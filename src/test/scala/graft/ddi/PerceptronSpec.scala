@@ -47,6 +47,26 @@ class PerceptronSpec extends AnyFunSuite {
     assert(math.abs(wx(ci("none"))) > 0)
   }
 
+  test("classCost: empty map is the identity; a class multiplier biases its boundary") {
+    // back-compat: classCost = empty must reproduce the default fit bit-for-bit
+    val base = Perceptron.fit(ex, epochs = 10)
+    val same = Perceptron.fit(ex, epochs = 10, classCost = Map.empty)
+    assert(base.classes.sameElements(same.classes))
+    assert(base.weights.keySet == same.weights.keySet &&
+      base.weights.forall { case (f, w) => w.sameElements(same.weights(f)) })
+    // an ambiguous feature shared by a majority and a minority class:
+    // raising the minority's update cost must widen its score advantage
+    val amb = IndexedSeq[(Seq[String], String)](
+      (Seq("x=1"), "none"), (Seq("x=1"), "none"), (Seq("x=1"), "none"),
+      (Seq("x=1", "y=1"), "int"))
+    def gap(cost: Double): Double = {
+      val p = Perceptron.fit(amb, epochs = 5, classCost = Map("int" -> cost))
+      val s = p.scoresRaw(Seq("x=1", "y=1"))
+      s(p.classes.indexOf("int")) - s(p.classes.indexOf("none"))
+    }
+    assert(gap(6.0) > gap(1.0), "higher int cost must widen the int-vs-none gap")
+  }
+
   test("averaging: single-model average is the identity; empty set averages empty") {
     val p = Perceptron.fit(ex, epochs = 5)
     val avg = Perceptron.average(Seq(p))
