@@ -125,6 +125,32 @@ object SparkEntry {
       // LSH-bucketed ANN (Spark murmur3 hyperplanes — no DuckDB twin)
       Similarity.bucketedTopK(rd(s, dir, "embeddings"), 3).orderBy("query_id", "rank")
     }),
+    // Hash-verified ANN recall measurement (one row): recompute the
+    // same bucketedTopK as kg_ann_bucketed, compare against the exact
+    // brute-force top-3 (a bounded Θ(n²) VERIFIER like q18 — n = the
+    // embeddings table, not a scale path), and emit (possible, hits,
+    // recall). The DuckDB oracle replays the exact side from the
+    // embeddings table (q19's cosine math, all queries) and the ANN
+    // side from the kg_ann_bucketed DUMP — so a wrong ANN dump
+    // hash-mismatches, transitively promoting kg_ann_bucketed from
+    // rows-only. NOTE the recall VALUE is data-dependent: the synthetic
+    // embeddings are near-isotropic noise, where hyperplane-LSH bucket
+    // agreement is close to random (measured 0.0227 at sf0.01) — the
+    // recall QUALITY gate stays AnnRecallSpec on clustered data
+    // (0.899/1.000/0.954); this row verifies the MATH, not the level.
+    "kg_ann_recall" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val ann = Similarity.bucketedTopK(emb, 3)
+        .select(col("query_id"), col("neighbor_id")).distinct()
+      val exact = Similarity.bruteForceTopK(emb, emb, 3)
+        .select(col("query_id"), col("neighbor_id"))
+      exact
+        .join(ann.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("possible"),
+          coalesce(sum(col("hit")), lit(0L)).as("hits"))
+        .select(col("possible"), col("hits"),
+          round(col("hits").cast("double") / col("possible"), 4).as("recall"))
+    }),
     "kg_ann_ivf" -> ((s, dir) => {
       // IVF ANN (hash-sampled centroids + nProbe cells — no DuckDB twin;
       // recall gate lives in AnnRecallSpec)
@@ -383,6 +409,24 @@ SELECT sid, form, "start", "end", tag,
   CASE WHEN nf IS NULL THEN 'EoS'
        ELSE 'formNext=' || nf || chr(9) || 'suf3Next=' || ns3 END AS features
 FROM s""",
+    // ANN recall replay: exact top-3 recomputed from the embeddings
+    // table (q19's math, ALL queries), ANN side read from the
+    // kg_ann_bucketed dump — see the kg_ann_recall query comment.
+    "kg_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+generate_subscripts(embedding, 1) AS i FROM embeddings),
+s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+round(sum(q.x * c.x) / sqrt(sum(q.x * q.x) * sum(c.x * c.x)), 4) AS cos
+FROM e q JOIN e c ON q.i = c.i AND q.vec_id <> c.vec_id GROUP BY 1, 2),
+ex AS (SELECT query_id, neighbor_id FROM (
+SELECT *, row_number() OVER (PARTITION BY query_id
+  ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s) WHERE rank <= 3),
+ann AS (SELECT DISTINCT query_id, neighbor_id FROM ${dump("kg_ann_bucketed")})
+SELECT CAST(count(*) AS BIGINT) AS possible,
+CAST(coalesce(sum(CASE WHEN ann.query_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits,
+round(coalesce(sum(CASE WHEN ann.query_id IS NOT NULL THEN 1 ELSE 0 END), 0) * 1.0 / count(*), 4) AS recall
+FROM ex LEFT JOIN ann
+ON ex.query_id = ann.query_id AND ex.neighbor_id = ann.neighbor_id""",
     // Canonicalize.variants + min-label CC replayed in SQL: same string
     // rewrites (paren strip, squash, hyphen drop, deplural), same
     // surface<->variant bipartite edges, same canonical = lexicographic
