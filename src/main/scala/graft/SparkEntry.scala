@@ -158,6 +158,24 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), 3, nCells = 16, nProbe = 2)
         .orderBy("query_id", "rank")
     }),
+    // IVF twin of kg_ann_recall: same exact-vs-ANN recall replay, ANN
+    // side = the kg_ann_ivf dump (queries vec_id < 20, k = 3) —
+    // transitively hash-verifies kg_ann_ivf the same way. Same honesty
+    // note: the VALUE is data-dependent (isotropic testdata), the
+    // quality gate is AnnRecallSpec on clustered data (0.954).
+    "kg_ann_ivf_recall" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val ann = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), 3, nCells = 16, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id")).distinct()
+      val exact = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), 3)
+        .select(col("query_id"), col("neighbor_id"))
+      exact
+        .join(ann.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("possible"),
+          coalesce(sum(col("hit")), lit(0L)).as("hits"))
+        .select(col("possible"), col("hits"),
+          round(col("hits").cast("double") / col("possible"), 4).as("recall"))
+    }),
 
     // -------- relational core (DuckDB-verified) -----------------------
     "q01_agg_pushdown" -> ((s, dir) => {
@@ -422,6 +440,24 @@ ex AS (SELECT query_id, neighbor_id FROM (
 SELECT *, row_number() OVER (PARTITION BY query_id
   ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s) WHERE rank <= 3),
 ann AS (SELECT DISTINCT query_id, neighbor_id FROM ${dump("kg_ann_bucketed")})
+SELECT CAST(count(*) AS BIGINT) AS possible,
+CAST(coalesce(sum(CASE WHEN ann.query_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits,
+round(coalesce(sum(CASE WHEN ann.query_id IS NOT NULL THEN 1 ELSE 0 END), 0) * 1.0 / count(*), 4) AS recall
+FROM ex LEFT JOIN ann
+ON ex.query_id = ann.query_id AND ex.neighbor_id = ann.neighbor_id""",
+    // IVF twin: exact top-3 for the vec_id < 20 queries, ANN side from
+    // the kg_ann_ivf dump.
+    "kg_ann_ivf_recall" ->
+      s"""WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+generate_subscripts(embedding, 1) AS i FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 20),
+s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+round(sum(q.x * c.x) / sqrt(sum(q.x * q.x) * sum(c.x * c.x)), 4) AS cos
+FROM q JOIN e c ON q.i = c.i AND q.vec_id <> c.vec_id GROUP BY 1, 2),
+ex AS (SELECT query_id, neighbor_id FROM (
+SELECT *, row_number() OVER (PARTITION BY query_id
+  ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s) WHERE rank <= 3),
+ann AS (SELECT DISTINCT query_id, neighbor_id FROM ${dump("kg_ann_ivf")})
 SELECT CAST(count(*) AS BIGINT) AS possible,
 CAST(coalesce(sum(CASE WHEN ann.query_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits,
 round(coalesce(sum(CASE WHEN ann.query_id IS NOT NULL THEN 1 ELSE 0 END), 0) * 1.0 / count(*), 4) AS recall
