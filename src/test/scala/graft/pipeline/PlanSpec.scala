@@ -54,6 +54,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), "scoring pass should not shuffle:\n" + plan)
   }
 
+  test("q16: observe() guard metric adds no shuffle — exactly 3 Exchanges") {
+    // the single-shuffle-per-stage budget of the LSH candidate pipeline:
+    // (1) explode→min signature agg, (2) bucket groupBy, (3) final pair
+    // groupBy. The round-4 CollectMetrics (mega-bucket Observation) sits
+    // between (2) and the flatMap and must never introduce a 4th.
+    val plan = planOf(SparkEntry.queries("q16_lsh_pairs")(spark, sf))
+    val n = "Exchange".r.findAllIn(plan).length
+    assert(plan.contains("CollectMetrics"), "guard metric missing from plan:\n" + plan)
+    assert(n == 3, s"q16 expected exactly 3 Exchanges, got $n:\n$plan")
+  }
+
   test("q19: query side of the ANN topk is broadcast") {
     val plan = planOf(SparkEntry.queries("q19_cosine_topk")(spark, sf))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
