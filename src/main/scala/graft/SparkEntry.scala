@@ -233,7 +233,17 @@ object SparkEntry {
     "q30_asof_join" -> ((s, dir) => Events.asofJoin(rd(s, dir, "events"))),
     "q31_range_join" -> ((s, dir) => Events.rangeJoin(rd(s, dir, "events"))),
     // HLL sketch differs across engines -> rows-only; OpsSpec gates accuracy
-    "q32_approx_distinct" -> ((s, dir) => Events.approxDistinctUsers(rd(s, dir, "events"))),
+    // round 4: carries a DuckDB-verified error-bound column — the
+    // oracle recomputes exact_users from the events table, reads
+    // approx_users back from the dump, and replays the 3-rsd bound, so
+    // the exact side and the bound claim are hash-verified (the HLL
+    // estimate itself is engine-specific by nature; its accuracy spec
+    // remains the sketch gate).
+    "q32_approx_distinct" -> ((s, dir) =>
+      Events.approxDistinctUsers(rd(s, dir, "events"))
+        .withColumn("within_3rsd",
+          abs(col("approx_users") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.15)),
 
     // -------- text analysis -------------------------------------------
     "q09_token_stats" -> ((s, dir) => TextOps.tokenStats(rd(s, dir, "documents"))),
@@ -445,6 +455,24 @@ CAST(coalesce(sum(CASE WHEN ann.query_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS B
 round(coalesce(sum(CASE WHEN ann.query_id IS NOT NULL THEN 1 ELSE 0 END), 0) * 1.0 / count(*), 4) AS recall
 FROM ex LEFT JOIN ann
 ON ex.query_id = ann.query_id AND ex.neighbor_id = ann.neighbor_id""",
+    // q21's xxhash64 signature VALUES have no DuckDB twin (documented),
+    // but q22's DERIVATION from them does: replay the bucket self-join
+    // + pair counting over the q21 dump — wrong banding, bucketing, or
+    // combination logic in the fast path now hash-mismatches.
+    "q22_lsh_pairs_fast" ->
+      s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+FROM ${dump("q21_minhash_fast")} a JOIN ${dump("q21_minhash_fast")} b
+ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+GROUP BY 1, 2""",
+    // exact side + 3-rsd bound replay for the HLL query (see the
+    // q32 query comment).
+    "q32_approx_distinct" ->
+      s"""WITH ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+FROM events GROUP BY 1),
+ap AS (SELECT event_type, approx_users FROM ${dump("q32_approx_distinct")})
+SELECT ap.event_type, ap.approx_users, ex.exact_users,
+(abs(ap.approx_users - ex.exact_users) * 1.0 / ex.exact_users) <= 0.15 AS within_3rsd
+FROM ap JOIN ex USING (event_type)""",
     // IVF twin: exact top-3 for the vec_id < 20 queries, ANN side from
     // the kg_ann_ivf dump.
     "kg_ann_ivf_recall" ->
