@@ -23,6 +23,23 @@ object SparkEntry {
   private def rd(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** One-row recall measurement of an ANN result against the exact
+    * top-k: (possible, hits, recall). Shared by kg_ann_recall and
+    * kg_ann_ivf_recall so the two gates can never drift; the DuckDB
+    * twin is [[annRecallSql]].
+    */
+  private def annRecall(ann: DataFrame, exact: DataFrame): DataFrame =
+    exact
+      .select(col("query_id"), col("neighbor_id"))
+      .join(
+        ann.select(col("query_id"), col("neighbor_id")).distinct()
+          .withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("possible"),
+        coalesce(sum(col("hit")), lit(0L)).as("hits"))
+      .select(col("possible"), col("hits"),
+        round(col("hits").cast("double") / col("possible"), 4).as("recall"))
+
   /** Flagship: full KG construction (parse → NER → DDI → canonicalize →
     * triples) on the deterministic synthetic corpus. Driver smoke-checks
     * rows > 0.
@@ -65,13 +82,21 @@ object SparkEntry {
       trips.toDF().orderBy("sid")
     }),
     "kg_feature_rows" -> ((s, _) => {
+      import s.implicits._
       val (_, ev) = kgCorpus(s, 200)
       // features flattened to the reference's D4 TSV tail
       // (ml/src/feature_space.py:8-15): tab-joined string, never an
       // array column — the driver's hasher can't sort array cells.
-      Pipeline.featureRows(s, ev).toDF()
-        .withColumn("features", concat_ws("\t", col("features")))
-        .orderBy("sid", "start")
+      // `idx` = token position in the sentence, the only TOTAL
+      // emission-order key (W3 quote tokens carry start = -1, so a
+      // (sid, start) window would scramble them) — the dump-replay
+      // oracle's lag/lead neighbor chain orders by it.
+      Pipeline.featureRowsIndexed(s, ev)
+        .map { case (i, r) =>
+          (r.sid, i, r.form, r.start, r.end, r.tag, r.features.mkString("\t"))
+        }
+        .toDF("sid", "idx", "form", "start", "end", "tag", "features")
+        .orderBy("sid", "idx")
     }),
     "kg_eval_ner" -> ((s, _) => {
       import s.implicits._
@@ -140,16 +165,7 @@ object SparkEntry {
     // (0.899/1.000/0.954); this row verifies the MATH, not the level.
     "kg_ann_recall" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
-      val ann = Similarity.bucketedTopK(emb, 3)
-        .select(col("query_id"), col("neighbor_id")).distinct()
-      val exact = Similarity.bruteForceTopK(emb, emb, 3)
-        .select(col("query_id"), col("neighbor_id"))
-      exact
-        .join(ann.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
-        .agg(count(lit(1)).as("possible"),
-          coalesce(sum(col("hit")), lit(0L)).as("hits"))
-        .select(col("possible"), col("hits"),
-          round(col("hits").cast("double") / col("possible"), 4).as("recall"))
+      annRecall(Similarity.bucketedTopK(emb, 3), Similarity.bruteForceTopK(emb, emb, 3))
     }),
     "kg_ann_ivf" -> ((s, dir) => {
       // IVF ANN (hash-sampled centroids + nProbe cells — no DuckDB twin;
@@ -165,16 +181,9 @@ object SparkEntry {
     // quality gate is AnnRecallSpec on clustered data (0.954).
     "kg_ann_ivf_recall" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
-      val ann = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), 3, nCells = 16, nProbe = 2)
-        .select(col("query_id"), col("neighbor_id")).distinct()
-      val exact = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), 3)
-        .select(col("query_id"), col("neighbor_id"))
-      exact
-        .join(ann.withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
-        .agg(count(lit(1)).as("possible"),
-          coalesce(sum(col("hit")), lit(0L)).as("hits"))
-        .select(col("possible"), col("hits"),
-          round(col("hits").cast("double") / col("possible"), 4).as("recall"))
+      annRecall(
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), 3, nCells = 16, nProbe = 2),
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), 3))
     }),
 
     // -------- relational core (DuckDB-verified) -----------------------
@@ -345,6 +354,28 @@ sigs AS (SELECT doc_id, band,
     * substituted with the real dump dir by Verify before the JSON is
     * written — the oracle SQL the driver sees is fully resolved).
     */
+  /** DuckDB twin of [[annRecall]]: exact top-3 recomputed from the
+    * embeddings table (q19's cosine math) for the queries selected by
+    * `queryWhere` ("" = every vector), ANN side read DISTINCT from the
+    * named dump.
+    */
+  private def annRecallSql(queryWhere: String, dumpName: String): String =
+    s"""WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+generate_subscripts(embedding, 1) AS i FROM embeddings),
+q AS (SELECT * FROM e $queryWhere),
+s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+round(sum(q.x * c.x) / sqrt(sum(q.x * q.x) * sum(c.x * c.x)), 4) AS cos
+FROM q JOIN e c ON q.i = c.i AND q.vec_id <> c.vec_id GROUP BY 1, 2),
+ex AS (SELECT query_id, neighbor_id FROM (
+SELECT *, row_number() OVER (PARTITION BY query_id
+  ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s) WHERE rank <= 3),
+ann AS (SELECT DISTINCT query_id, neighbor_id FROM ${dump(dumpName)})
+SELECT CAST(count(*) AS BIGINT) AS possible,
+CAST(coalesce(sum(CASE WHEN ann.query_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits,
+round(coalesce(sum(CASE WHEN ann.query_id IS NOT NULL THEN 1 ELSE 0 END), 0) * 1.0 / count(*), 4) AS recall
+FROM ex LEFT JOIN ann
+ON ex.query_id = ann.query_id AND ex.neighbor_id = ann.neighbor_id"""
+
   private def dump(name: String): String =
     s"read_parquet('__OUT__/$name.parquet/*.parquet')"
 
@@ -415,22 +446,24 @@ SELECT node, min(comp) AS comp FROM r GROUP BY node)"""
     // kg_eval_ner_crf): rebuild the `features` tail in pure SQL from the
     // dump's scalar columns — suf3= recomputed from form= (Python
     // word[-3:] semantics), formPrev/suf3Prev/formNext/suf3Next taken
-    // from the sid-partitioned start-ordered neighbors, BoS/EoS at
-    // sentence edges (ml/extract-features.py:59-95 emission order). A
-    // dump whose feature strings are inconsistent with its own token
-    // stream hash-mismatches this reconstruction.
+    // from the sid-partitioned neighbors ordered by the token index
+    // `idx` (the only TOTAL emission-order key: W3 quote tokens carry
+    // start = -1), BoS/EoS at sentence edges (ml/extract-features.py:
+    // 59-95 emission order). A dump whose feature strings are
+    // inconsistent with its own token stream hash-mismatches this
+    // reconstruction.
     "kg_feature_rows" ->
       s"""WITH t AS (
-SELECT sid, form, "start", "end", tag, features,
-  lag(form)  OVER (PARTITION BY sid ORDER BY "start") AS pf,
-  lead(form) OVER (PARTITION BY sid ORDER BY "start") AS nf
+SELECT sid, idx, form, "start", "end", tag, features,
+  lag(form)  OVER (PARTITION BY sid ORDER BY idx) AS pf,
+  lead(form) OVER (PARTITION BY sid ORDER BY idx) AS nf
 FROM ${dump("kg_feature_rows")}),
 s AS (SELECT *,
   CASE WHEN length(form) <= 3 THEN form ELSE substr(form, length(form) - 2, 3) END AS s3,
   CASE WHEN length(pf) <= 3 THEN pf ELSE substr(pf, length(pf) - 2, 3) END AS ps3,
   CASE WHEN length(nf) <= 3 THEN nf ELSE substr(nf, length(nf) - 2, 3) END AS ns3
 FROM t)
-SELECT sid, form, "start", "end", tag,
+SELECT sid, idx, form, "start", "end", tag,
   'form=' || form || chr(9) || 'suf3=' || s3 || chr(9) ||
   CASE WHEN pf IS NULL THEN 'BoS'
        ELSE 'formPrev=' || pf || chr(9) || 'suf3Prev=' || ps3 END || chr(9) ||
@@ -440,25 +473,16 @@ FROM s""",
     // ANN recall replay: exact top-3 recomputed from the embeddings
     // table (q19's math, ALL queries), ANN side read from the
     // kg_ann_bucketed dump — see the kg_ann_recall query comment.
-    "kg_ann_recall" ->
-      s"""WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
-generate_subscripts(embedding, 1) AS i FROM embeddings),
-s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-round(sum(q.x * c.x) / sqrt(sum(q.x * q.x) * sum(c.x * c.x)), 4) AS cos
-FROM e q JOIN e c ON q.i = c.i AND q.vec_id <> c.vec_id GROUP BY 1, 2),
-ex AS (SELECT query_id, neighbor_id FROM (
-SELECT *, row_number() OVER (PARTITION BY query_id
-  ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s) WHERE rank <= 3),
-ann AS (SELECT DISTINCT query_id, neighbor_id FROM ${dump("kg_ann_bucketed")})
-SELECT CAST(count(*) AS BIGINT) AS possible,
-CAST(coalesce(sum(CASE WHEN ann.query_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits,
-round(coalesce(sum(CASE WHEN ann.query_id IS NOT NULL THEN 1 ELSE 0 END), 0) * 1.0 / count(*), 4) AS recall
-FROM ex LEFT JOIN ann
-ON ex.query_id = ann.query_id AND ex.neighbor_id = ann.neighbor_id""",
+    "kg_ann_recall" -> annRecallSql("", "kg_ann_bucketed"),
     // q21's xxhash64 signature VALUES have no DuckDB twin (documented),
     // but q22's DERIVATION from them does: replay the bucket self-join
     // + pair counting over the q21 dump — wrong banding, bucketing, or
-    // combination logic in the fast path now hash-mismatches.
+    // combination logic in the fast path now hash-mismatches. Like the
+    // q16 oracle, this replay assumes NO mega-bucket degradation at the
+    // gate SFs (true by a wide margin: max bucket 20 at sf0.01 / 116 at
+    // sf0.1 vs maxBucket 4096); on a corpus that trips the guard the
+    // Spark side intentionally emits hub-star pairs and would (rightly)
+    // diverge from this all-pairs replay.
     "q22_lsh_pairs_fast" ->
       s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
 FROM ${dump("q21_minhash_fast")} a JOIN ${dump("q21_minhash_fast")} b
@@ -475,22 +499,7 @@ SELECT ap.event_type, ap.approx_users, ex.exact_users,
 FROM ap JOIN ex USING (event_type)""",
     // IVF twin: exact top-3 for the vec_id < 20 queries, ANN side from
     // the kg_ann_ivf dump.
-    "kg_ann_ivf_recall" ->
-      s"""WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
-generate_subscripts(embedding, 1) AS i FROM embeddings),
-q AS (SELECT * FROM e WHERE vec_id < 20),
-s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-round(sum(q.x * c.x) / sqrt(sum(q.x * q.x) * sum(c.x * c.x)), 4) AS cos
-FROM q JOIN e c ON q.i = c.i AND q.vec_id <> c.vec_id GROUP BY 1, 2),
-ex AS (SELECT query_id, neighbor_id FROM (
-SELECT *, row_number() OVER (PARTITION BY query_id
-  ORDER BY cos DESC, neighbor_id ASC) AS rank FROM s) WHERE rank <= 3),
-ann AS (SELECT DISTINCT query_id, neighbor_id FROM ${dump("kg_ann_ivf")})
-SELECT CAST(count(*) AS BIGINT) AS possible,
-CAST(coalesce(sum(CASE WHEN ann.query_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits,
-round(coalesce(sum(CASE WHEN ann.query_id IS NOT NULL THEN 1 ELSE 0 END), 0) * 1.0 / count(*), 4) AS recall
-FROM ex LEFT JOIN ann
-ON ex.query_id = ann.query_id AND ex.neighbor_id = ann.neighbor_id""",
+    "kg_ann_ivf_recall" -> annRecallSql("WHERE vec_id < 20", "kg_ann_ivf"),
     // Canonicalize.variants + min-label CC replayed in SQL: same string
     // rewrites (paren strip, squash, hyphen drop, deplural), same
     // surface<->variant bipartite edges, same canonical = lexicographic

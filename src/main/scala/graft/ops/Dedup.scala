@@ -69,17 +69,20 @@ object Dedup {
 
   /** Mega-buckets hit by the first action on the frame returned by the
     * LAST [[lshCandidates]]/[[simhashNearDup]] call of `op`
-    * ("lsh" | "simhash") in this JVM. 0 = no degradation: the result is
-    * exact. Exact under stage retries / speculation / repeated actions
-    * (observe-based, see [[megaObsRegistry]]); polls briefly because
-    * observed metrics arrive via an async listener. Returns 0 if no
-    * action has run yet. Latest-call-wins per op name — concurrent
-    * callers should pass their own `megaObs` handle instead.
+    * ("lsh" | "simhash") in this JVM. Exact under stage retries /
+    * speculation / repeated actions (observe-based, see
+    * [[megaObsRegistry]]). Observed metrics arrive via an async
+    * listener, so this waits up to 3 s for them after an action; a 0
+    * therefore means EITHER "first action completed, no degradation"
+    * OR "no action has completed yet" (e.g. the frame was only
+    * planned/explained) — call it only after acting on the returned
+    * frame. Latest-call-wins per op name — concurrent callers should
+    * pass their own `megaObs` handle and read `obs.get` instead.
     */
   def megaBucketCount(op: String): Long = {
     val obs = megaObsRegistry.get(op)
     if (obs == null) return 0L
-    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    val deadline = System.nanoTime() + 3L * 1000 * 1000 * 1000
     while (System.nanoTime() < deadline) {
       obs.future.value match {
         case Some(scala.util.Success(row)) =>
@@ -218,8 +221,11 @@ object Dedup {
     * listings lose the intra-bucket non-hub pairs, and a mega band
     * contributes at most 1 to `n_shared_bands` of a non-hub pair — so a
     * `minBands >= 2` caller may lose edges whose extra support came
-    * only from mega bands. Each degradation increments the
-    * `graft.dedup.megaBuckets.lsh` accumulator ([[megaBucketCount]]).
+    * only from mega bands. Mega buckets are counted by an
+    * action-scoped `Dataset.observe` metric on the bucket frame
+    * (Spark-UI name `graft.dedup.megaBuckets.lsh.<seq>`), read via
+    * [[megaBucketCount]] or a caller-provided `megaObs` handle; each
+    * degradation additionally logs an executor-side warning.
     */
   def lshCandidates(
       docs: DataFrame,
@@ -315,8 +321,10 @@ object Dedup {
     * 16 buckets/band turn the bucket join quadratic.)
     *
     * Losslessness holds while every bucket fits `maxBucket`; a mega
-    * bucket degrades to hub-star pairs (see the guard note inside) and
-    * increments `graft.dedup.megaBuckets.simhash`.
+    * bucket degrades to hub-star pairs (see the guard note inside),
+    * counted by the `graft.dedup.megaBuckets.simhash.<seq>` observe
+    * metric ([[megaBucketCount]] / `megaObs`) and logged as an
+    * executor-side warning.
     */
   def simhashNearDup(
       docs: DataFrame,

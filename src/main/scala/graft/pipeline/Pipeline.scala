@@ -97,6 +97,29 @@ object Pipeline {
     }
   }
 
+  /** [[featureRows]] plus the token's sentence position. `(sid, idx)` is
+    * the only TOTAL emission-order key: the W3 quote quirk gives every
+    * rewritten quote token `start = -1` (core/Tokenize), so a
+    * `(sid, start)` sort both scrambles those tokens' relative order and
+    * hoists them out of sentence position — the same pitfall
+    * `ner/Train.sentStreams` documents. Dump-replay oracles that
+    * reconstruct the prev/next neighbor chain must order by this index.
+    */
+  def featureRowsIndexed(
+      spark: SparkSession,
+      sents: Dataset[ParsedSentence]
+  ): Dataset[(Int, FeatureRow)] = {
+    import spark.implicits._
+    sents.flatMap { s =>
+      val toks = Tokenize.tokenize(s.text)
+      val feats = Features.extractFeatures(toks)
+      toks.indices.map { i =>
+        val t = toks(i)
+        (i, FeatureRow(s.sid, t.form, t.start, t.end, Features.getTag(t, s.entities), feats(i)))
+      }
+    }
+  }
+
   /** The fused narrow pass: tokenize, score with the broadcast model,
     * decode mentions. One `flatMap`-shaped stage, zero shuffle.
     */

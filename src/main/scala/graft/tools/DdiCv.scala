@@ -19,8 +19,12 @@ import scala.jdk.CollectionConverters._
   * estimate; the one final test measurement stays in DebugDdi FROZEN
   * TEST.
   *
-  * Usage: runMain graft.tools.DdiCv [k] [ASCENT] [NEGINT] [INTCOST=<x>]
+  * Usage: runMain graft.tools.DdiCv [k] [ASCENT] [HOLDOUT] [NEGINT] [INTCOST=<x>]
   *   ASCENT      coordinate-ascent the per-class margins on pooled CV F1
+  *   HOLDOUT     tune on the first k-2 folds only, then report both the
+  *               shipped and the tuned margins on the LAST 2 folds —
+  *               the within-train transfer check behind BASELINE.md's
+  *               "0.5847 vs 0.5876" negative result
   *   NEGINT      add the neg=1 ^ s_cueI=1 conjunction feature (a
   *               rejected-at-devel borderline candidate, re-measured here)
   *   INTCOST=<x> scale the perceptron update cost for the int class
@@ -34,10 +38,12 @@ object DdiCv {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    val docs = Files.list(Paths.get("/root/reference/data/train"))
-      .iterator().asScala.toSeq.sortBy(_.toString)
-      .map(p => DocRow("r", p.toString, "0" * 40, "xml",
-        new String(Files.readAllBytes(p), "UTF-8")))
+    val listing = Files.list(Paths.get("/root/reference/data/train"))
+    val docs =
+      try listing.iterator().asScala.toSeq.sortBy(_.toString)
+        .map(p => DocRow("r", p.toString, "0" * 40, "xml",
+          new String(Files.readAllBytes(p), "UTF-8")))
+      finally listing.close()
     val train = Pipeline.parse(spark, Pipeline.withSha(spark.createDataset(docs).toDF())).cache()
 
     // feature variants are pure transforms over the emitted feature

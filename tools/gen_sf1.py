@@ -6,10 +6,13 @@
     shift by copy*(max_key+1), so join fan-out, per-key volumes and
     skew are preserved EXACTLY; region/nation stay single-copy dims);
   - documents/embeddings: FRESH draws from the sf0.1 distributions
-    (31-word vocab, 8-105 words/doc, same lang/source mix; 10 label
-    centers |c|~0.07 + N(0,0.125) noise, dim 64) so duplicate
-    structure SCALES with n instead of replicating 10 identical
-    copies of every doc.
+    (31-word vocab, 10-100 words/doc — the measured sf0.1 range, same
+    lang/source mix; 10 label centers |c|~0.07 + N(0,0.125) noise,
+    dim 64) so duplicate structure SCALES with n instead of
+    replicating 10 identical copies of every doc. (The round-4 soak
+    recorded in BENCH/BASELINE.md ran an earlier draw with 8-105-word
+    tails — slightly wider than sf0.1's; immaterial to the candidate-
+    growth analysis, noted for reproducibility.)
 
 Deterministic (seed below). Usage: python3 tools/gen_sf1.py
 Then: SPARK_GRAFT_SF_DIR=/tmp/sf1 SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench"
@@ -57,7 +60,7 @@ vocab = np.array(sorted(con.sql(
 langs = np.array(["en", "zh", "es", "fr", "de"])
 langp = np.array([0.41, 0.15, 0.15, 0.15, 0.14]); langp = langp / langp.sum()
 N = 50000
-nwords = rng.integers(8, 106, N)
+nwords = rng.integers(10, 101, N)
 texts = [" ".join(rng.choice(vocab, n)) for n in nwords]
 pq.write_table(pa.table({
     "doc_id": pa.array(np.arange(N), pa.int64()),
