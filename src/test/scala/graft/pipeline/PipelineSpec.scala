@@ -19,6 +19,35 @@ class PipelineSpec extends AnyFunSuite {
   private lazy val evalSents = sents.filter(s => math.abs(s.docId.hashCode) % 4 == 0).cache()
   private lazy val run = Pipeline.run(spark, train, evalSents, "hybrid")
 
+  test("featureRowsIndexed: idx is emission order even for quote tokens (start = -1)") {
+    import spark.implicits._
+    // the W3 quirk: both quotes rewrite to ``/'' with start = -1, so
+    // (sid, start) hoists them to the sentence front and scrambles
+    // their relative order — idx must instead reproduce the exact
+    // token emission order the feature chain was built in
+    val s = graft.core.ParsedSentence("r", "d", "s0",
+      "The \"loading dose\" of warfarin increased .", Nil, Nil)
+    val rows = Pipeline.featureRowsIndexed(spark, spark.createDataset(Seq(s)))
+      .collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == rows.indices.toSeq, "idx must be dense 0..n-1")
+    assert(rows.count(_._2.start == -1) == 2, "both rewritten quotes carry start = -1")
+    // the prev/next feature chain agrees with idx order at every token
+    // (this is exactly what the kg_feature_rows dump-replay oracle
+    // reconstructs with lag/lead OVER (PARTITION BY sid ORDER BY idx))
+    rows.indices.foreach { i =>
+      val f = rows(i)._2.features
+      if (i == 0) assert(f.contains("BoS"), s"token 0: $f")
+      else assert(f.contains("formPrev=" + rows(i - 1)._2.form), s"token $i: $f")
+      if (i == rows.length - 1) assert(f.contains("EoS"), s"last token: $f")
+      else assert(f.contains("formNext=" + rows(i + 1)._2.form), s"token $i: $f")
+    }
+    // and a (sid, start) sort would NOT: the first start-ordered token
+    // is a quote (start -1), whose features say it is mid-sentence
+    val byStart = rows.sortBy(_._2.start)
+    assert(byStart.head._2.start == -1 && !byStart.head._2.features.contains("BoS"),
+      "start-order places a mid-sentence quote token first — the bug idx fixes")
+  }
+
   test("sha256 invariant holds on the generated docs table") {
     assert(Pipeline.checkSha(corpus) == 0L)
     // and the column actually is the sha of content
