@@ -57,64 +57,110 @@ object Canonicalize {
       localThreshold: Long = LocalCcThreshold
   ): DataFrame = {
     import spark.implicits._
-    // NOTE: the union's two branches re-plan the upstream edge subtree,
-    // but their shuffles canonicalize identically so ReuseExchange
-    // shares the expensive part; caching edges first was measured
-    // SLOWER at sf0.1 (cache-write overhead > the residual recompute) —
-    // don't "fix" this again
-    val sym = edges
-      .toDF("src", "dst")
-      .union(edges.toDF("dst", "src").select($"src", $"dst"))
-      .distinct()
-      .localCheckpoint()
+    ccImpl[String](spark, edges.toDF("src", "dst"), maxIter, localThreshold)
+  }
 
-    val nEdges = sym.count()
-    if (nEdges <= localThreshold) {
-      return localUnionFind(spark, sym.as[(String, String)].collect())
-    }
+  /** Long-keyed twin of [[connectedComponents]] for numeric node ids
+    * (the near-dup doc graph): identical algorithm and min-label
+    * contract — numeric min on longs equals lexicographic min on the
+    * zero-padded strings the string path (and the DuckDB oracle's
+    * replay) uses — but the label-propagation shuffles carry 8-byte
+    * longs instead of 19-char padded strings, roughly 2.4× less key
+    * volume at dup-graph scale, and the union-find fast path skips ~2
+    * string allocations per edge.
+    */
+  def connectedComponentsLong(
+      spark: SparkSession,
+      edges: Dataset[(Long, Long)],
+      maxIter: Int = 20,
+      localThreshold: Long = LocalCcThreshold
+  ): DataFrame = {
+    import spark.implicits._
+    ccImpl[Long](spark, edges.toDF("src", "dst"), maxIter, localThreshold)
+  }
 
-    var labels = sym
-      .select($"src".as("node"))
-      .union(sym.select($"dst".as("node")))
-      .distinct()
-      .withColumn("comp", $"node")
-      .localCheckpoint()
-
-    var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
-      val msgs = sym
-        .join(labels.withColumnRenamed("node", "src"), "src")
-        .select($"dst".as("node"), $"comp")
-      val next = labels
-        .select($"node", $"comp")
-        .union(msgs)
-        .groupBy($"node")
-        .agg(min($"comp").as("comp"))
+  private def ccImpl[T: Ordering](
+      spark: SparkSession,
+      edgesDf: DataFrame,
+      maxIter: Int,
+      localThreshold: Long
+  )(implicit enc: org.apache.spark.sql.Encoder[(T, T)]): DataFrame = {
+    import spark.implicits._
+    // AQE partition coalescing is DISABLED for the whole CC body (and
+    // restored after): the symmetric edge frame materializes through
+    // localCheckpoint with however many post-shuffle partitions AQE
+    // left it — coalesced, a 15M-edge graph checkpoints into a handful
+    // of partitions and every loop iteration's join runs at that
+    // map-side width — and each iteration's label aggregate is tiny
+    // (one row per node), which AQE would coalesce to 1-2 partitions,
+    // near-serializing the next 15M-row join/agg. Measured on the sf1
+    // dup graph (7.6M edges, long keys): 53-60s with coalescing vs
+    // 47-48s without. The effect bites HARDER the narrower the keys
+    // (the long-keyed path shuffles 2.4× fewer bytes, so AQE
+    // under-partitions it more aggressively).
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val oldCoalesce = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      // NOTE: the union's two branches re-plan the upstream edge
+      // subtree, but their shuffles canonicalize identically so
+      // ReuseExchange shares the expensive part; caching edges first
+      // was measured SLOWER at sf0.1 (cache-write overhead > the
+      // residual recompute) — don't "fix" this again
+      val sym = edgesDf
+        .union(edgesDf.select($"dst".as("src"), $"src".as("dst")))
+        .distinct()
         .localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("comp", "old"), "node")
-        .filter($"comp" =!= $"old")
-        .limit(1)
-        .count()
-      labels = next
-      converged = changed == 0
-      iter += 1
-    }
-    labels
+
+      val nEdges = sym.count()
+      if (nEdges <= localThreshold) {
+        return localUnionFind[T](spark, sym.as[(T, T)].collect())
+      }
+
+      var labels = sym
+        .select($"src".as("node"))
+        .union(sym.select($"dst".as("node")))
+        .distinct()
+        .withColumn("comp", $"node")
+        .localCheckpoint()
+
+      var iter = 0
+      var converged = false
+      while (iter < maxIter && !converged) {
+        val msgs = sym
+          .join(labels.withColumnRenamed("node", "src"), "src")
+          .select($"dst".as("node"), $"comp")
+        val next = labels
+          .select($"node", $"comp")
+          .union(msgs)
+          .groupBy($"node")
+          .agg(min($"comp").as("comp"))
+          .localCheckpoint()
+        val changed = next
+          .join(labels.withColumnRenamed("comp", "old"), "node")
+          .filter($"comp" =!= $"old")
+          .limit(1)
+          .count()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      labels
+    } finally oldCoalesce.fold(spark.conf.unset(coalesceKey))(spark.conf.set(coalesceKey, _))
   }
 
   /** Driver-side union-find with path compression; labels resolved to
-    * the lexicographic minimum of each component (identical contract to
-    * the distributed loop).
+    * the Ordering-minimum of each component (identical contract to the
+    * distributed loop: lexicographic min for strings, numeric min for
+    * longs).
     */
-  private def localUnionFind(
+  private def localUnionFind[T: Ordering](
       spark: SparkSession,
-      sym: Array[(String, String)]
-  ): DataFrame = {
-    import spark.implicits._
-    val parent = scala.collection.mutable.HashMap.empty[String, String]
-    def find(x: String): String = {
+      sym: Array[(T, T)]
+  )(implicit enc: org.apache.spark.sql.Encoder[(T, T)]): DataFrame = {
+    val ord = implicitly[Ordering[T]]
+    val parent = scala.collection.mutable.HashMap.empty[T, T]
+    def find(x: T): T = {
       var root = x
       while (parent.getOrElse(root, root) != root) root = parent.getOrElse(root, root)
       var cur = x
@@ -132,13 +178,14 @@ object Canonicalize {
       if (ra != rb) parent(ra) = rb
     }
     val nodes = parent.keys.toSeq
-    val minOfRoot = scala.collection.mutable.HashMap.empty[String, String]
+    val minOfRoot = scala.collection.mutable.HashMap.empty[T, T]
     nodes.foreach { n =>
       val r = find(n)
       val cur = minOfRoot.get(r)
-      if (cur.isEmpty || n < cur.get) minOfRoot(r) = n
+      if (cur.isEmpty || ord.lt(n, cur.get)) minOfRoot(r) = n
     }
-    nodes.map(n => (n, minOfRoot(find(n)))).toDF("node", "comp")
+    spark.createDataset(nodes.map(n => (n, minOfRoot(find(n)))))
+      .toDF("node", "comp")
   }
 
   /** Map each distinct surface to its canonical name: build the

@@ -38,6 +38,25 @@ class KgSpec extends AnyFunSuite {
     assert(local == dist)
   }
 
+  test("CC long-keyed twin == string CC on zero-padded ids, both execution paths") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // includes >12-digit ids so the former lpad-width hazard stays covered
+    val ids = Seq.fill(80)(rnd.nextLong(1000000000000000L))
+    val raw = Seq.fill(200)((ids(rnd.nextInt(ids.length)), ids(rnd.nextInt(ids.length))))
+    val eLong = spark.createDataset(raw)
+    val eStr = spark.createDataset(raw.map { case (a, b) => (f"$a%019d", f"$b%019d") })
+    // threshold default = union-find fast path; 0 = distributed loop
+    for (thr <- Seq(Canonicalize.LocalCcThreshold, 0L)) {
+      val l = Canonicalize.connectedComponentsLong(spark, eLong, localThreshold = thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val s = Canonicalize.connectedComponents(spark, eStr, localThreshold = thr)
+        .collect().map(r => (r.getString(0).toLong, r.getString(1).toLong)).toSet
+      assert(l == s, s"long vs string CC disagree at threshold $thr")
+    }
+  }
+
   test("canonicalMap: hyphen/plural/case variants collapse to one canonical") {
     val spark = TestSpark.spark
     import spark.implicits._
