@@ -45,14 +45,22 @@ object Perceptron {
     * w_final = w - acc/t with t advancing once per example across all
     * epochs (Collins' lazy-average trick).
     */
+  /** `init` warm-starts the raw weights (iterative parameter mixing,
+    * McDonald et al. 2010 — the averaging accumulator starts fresh, so
+    * the returned average is over THIS fit's trajectory from the init
+    * point; a feature never updated here keeps its init weight).
+    * `None` = cold start, bit-identical to the previous behavior.
+    */
   def fit(
       examples: IndexedSeq[(Seq[String], String)],
       epochs: Int = 5,
       positiveCost: Double = 2.0,
       reject: String = "none",
-      classCost: Map[String, Double] = Map.empty
+      classCost: Map[String, Double] = Map.empty,
+      init: Option[PerceptronParams] = None
   ): PerceptronParams = {
-    val classes = examples.map(_._2).distinct.sorted.toArray
+    val classes = (examples.map(_._2) ++ init.toSeq.flatMap(_.classes))
+      .distinct.sorted.toArray
     if (classes.isEmpty) return PerceptronParams(classes, Map.empty)
     val ci = classes.zipWithIndex.toMap
     val nc = classes.length
@@ -61,6 +69,14 @@ object Perceptron {
         classCost.getOrElse(classes(i), 1.0))
     val w = scala.collection.mutable.HashMap.empty[String, Array[Double]]
     val acc = scala.collection.mutable.HashMap.empty[String, Array[Double]]
+    init.foreach { p =>
+      val remap = p.classes.map(ci)
+      p.weights.foreach { case (f, ww) =>
+        val row = w.getOrElseUpdate(f, new Array[Double](nc))
+        var i = 0
+        while (i < ww.length) { row(remap(i)) = ww(i); i += 1 }
+      }
+    }
     var t = 1L
     val data = examples.map { case (fs, lab) => (fs, ci(lab)) }
     var e = 0
@@ -92,8 +108,12 @@ object Perceptron {
       e += 1
     }
     val avg = w.iterator.map { case (f, ww) =>
-      val aa = acc(f)
-      f -> Array.tabulate(nc)(i => ww(i) - aa(i) / t)
+      // init-seeded features that were never updated have no acc entry:
+      // their average IS the (unchanged) init weight
+      acc.get(f) match {
+        case Some(aa) => f -> Array.tabulate(nc)(i => ww(i) - aa(i) / t)
+        case None     => f -> ww.clone()
+      }
     }.toMap
     PerceptronParams(classes, avg)
   }

@@ -231,22 +231,42 @@ object Relations {
     * al. 2010). Each partition sorts its local slice — deterministic
     * given a deterministic partitioner.
     */
+  /** `rounds > 1` = iterative parameter mixing (McDonald et al. 2010):
+    * each round warm-starts every partition's perceptron from the
+    * previous round's average and runs `epochs / rounds` local epochs,
+    * so total update work matches the single-shot arm. `rounds = 1` is
+    * the original one-shot average.
+    */
   def fitDistributed(
       spark: SparkSession,
       sents: Dataset[ParsedSentence],
-      parts: Int = 8
+      parts: Int = 8,
+      epochs: Int = 5,
+      rounds: Int = 1
   ): Perceptron.PerceptronParams = {
     import spark.implicits._
-    val locals = examples(spark, sents)
+    val parted = examples(spark, sents)
       .map(e => (e.sid, e.e1, e.e2, e.feats, e.label))
       .repartition(parts, col("_1")) // _1 = sid after the tuple map
-      .mapPartitions { it =>
-        val ex = it.toIndexedSeq.sortBy(x => (x._1, x._2, x._3))
-          .map(x => (x._4: Seq[String], x._5))
-        if (ex.isEmpty) Iterator.empty else Iterator(Perceptron.fit(ex))
+      .persist()
+    try {
+      val perRound = math.max(1, epochs / math.max(1, rounds))
+      var cur: Option[Perceptron.PerceptronParams] = None
+      for (_ <- 0 until math.max(1, rounds)) {
+        val bc = spark.sparkContext.broadcast(cur)
+        val locals = parted
+          .mapPartitions { it =>
+            val ex = it.toIndexedSeq.sortBy(x => (x._1, x._2, x._3))
+              .map(x => (x._4: Seq[String], x._5))
+            if (ex.isEmpty) Iterator.empty
+            else Iterator(Perceptron.fit(ex, epochs = perRound, init = bc.value))
+          }
+          .collect()
+        cur = Some(Perceptron.average(locals.toSeq))
+        bc.destroy()
       }
-      .collect()
-    Perceptron.average(locals.toSeq)
+      cur.getOrElse(Perceptron.fit(IndexedSeq.empty))
+    } finally parted.unpersist()
   }
 
   /** Per-class decision margins (score gap over "none"), tuned by

@@ -39,26 +39,39 @@ object Crf {
       stream: Seq[(Seq[String], String)],
       c2: Double = 0.1,
       epochs: Int = 30,
-      chunk: Int = 100
+      chunk: Int = 100,
+      init: Option[CrfParams] = None
   ): CrfParams = {
     val seqs = stream.grouped(chunk).map { g =>
       (g.map(_._1).toIndexedSeq, g.map(_._2).toIndexedSeq)
     }.toIndexedSeq
-    fit(seqs, c2, epochs)
+    fit(seqs, c2, epochs, init)
   }
 
+  /** `init` warm-starts the weights (iterative parameter mixing,
+    * McDonald et al. 2010: each mixing round re-fits partition-locally
+    * FROM the previous round's average). Labels and features are the
+    * union of the data's and the init's, so a feature a partition never
+    * sees keeps its init weight (modulo this fit's L2 decay) instead of
+    * being dropped. `None` = cold start, bit-identical to the previous
+    * behavior.
+    */
   def fit(
       seqs: IndexedSeq[(IndexedSeq[Seq[String]], IndexedSeq[String])],
       c2: Double = 0.1,
-      epochs: Int = 30
+      epochs: Int = 30,
+      init: Option[CrfParams] = None
   ): CrfParams = {
     // c2 = 0 makes lambda = 0, so the 1/(lambda*(t0+t)) step size is NaN
     // and every weight silently becomes NaN — fail loudly instead
     require(c2 > 0.0, s"c2 must be > 0 (l2sgd step size is 1/(lambda*t)); got $c2")
-    val labels = seqs.flatMap(_._2).distinct.sorted.toArray
+    val labels = (seqs.flatMap(_._2) ++ init.toSeq.flatMap(_.labels))
+      .distinct.sorted.toArray
     val labIdx = labels.zipWithIndex.toMap
     val nLab = labels.length
     val featIdx = scala.collection.mutable.HashMap.empty[String, Int]
+    init.foreach(_.state.keysIterator.toSeq.sorted
+      .foreach(f => featIdx.getOrElseUpdate(f, featIdx.size)))
     seqs.foreach(_._1.foreach(_.foreach(f => featIdx.getOrElseUpdate(f, featIdx.size))))
     val nFeat = featIdx.size
 
@@ -67,6 +80,22 @@ object Crf {
     val vState = Array.fill(nFeat, nLab)(0.0)
     val vTrans = Array.fill(nLab, nLab)(0.0)
     var scale = 1.0
+    init.foreach { p =>
+      val remap = p.labels.map(labIdx)
+      p.state.foreach { case (f, w) =>
+        val row = vState(featIdx(f))
+        var i = 0
+        while (i < w.length) { row(remap(i)) = w(i); i += 1 }
+      }
+      var a = 0
+      while (a < p.labels.length) {
+        var b = 0
+        while (b < p.labels.length) {
+          vTrans(remap(a))(remap(b)) = p.trans(a)(b); b += 1
+        }
+        a += 1
+      }
+    }
     val lambda = 2.0 * c2 / math.max(1, seqs.length)
     val eta0 = 0.1
     val t0 = 1.0 / (lambda * eta0)

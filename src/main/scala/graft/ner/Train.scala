@@ -190,25 +190,46 @@ object Train {
     * (same session, same job order) but NOT across different call
     * orderings — the driver-side fitCrf is the fully-deterministic path.
     */
+  /** `rounds > 1` = iterative parameter mixing (McDonald et al. 2010,
+    * the full recipe, not just one-shot averaging): each round warm-
+    * starts every partition's l2sgd from the previous round's averaged
+    * weights and runs `epochs / rounds` local epochs, so total epoch
+    * work matches the single-shot arm at any `rounds`. One broadcast +
+    * one tiny collect per round; the partitioned token stream is
+    * computed once and persisted across rounds. `rounds = 1` is the
+    * original one-shot average.
+    */
   def fitCrfDistributed(
       spark: SparkSession,
       sents: Dataset[ParsedSentence],
       c2: Double = 0.1,
       epochs: Int = 30,
-      parts: Int = 8
+      parts: Int = 8,
+      rounds: Int = 1
   ): Crf.CrfParams = {
     implicit val enc: org.apache.spark.sql.Encoder[Crf.CrfParams] =
       org.apache.spark.sql.Encoders.kryo[Crf.CrfParams]
-    val locals = sentStreams(spark, sents)
+    val streams = sentStreams(spark, sents)
       .repartitionByRange(parts, col("_1"))
       .sortWithinPartitions(col("_1"))
-      .mapPartitions { it =>
-        val stream = it.flatMap(_._2).toVector
-        if (stream.isEmpty) Iterator.empty
-        else Iterator.single(Crf.fitTokenStream(stream, c2, epochs))
+      .persist()
+    try {
+      val perRound = math.max(1, epochs / math.max(1, rounds))
+      var cur: Option[Crf.CrfParams] = None
+      for (_ <- 0 until math.max(1, rounds)) {
+        val bc = spark.sparkContext.broadcast(cur)
+        val locals = streams
+          .mapPartitions { it =>
+            val stream = it.flatMap(_._2).toVector
+            if (stream.isEmpty) Iterator.empty
+            else Iterator.single(Crf.fitTokenStream(stream, c2, perRound, init = bc.value))
+          }
+          .collect()
+        cur = Some(Crf.average(scala.collection.immutable.ArraySeq.unsafeWrapArray(locals)))
+        bc.destroy()
       }
-      .collect()
-    Crf.average(scala.collection.immutable.ArraySeq.unsafeWrapArray(locals))
+      cur.getOrElse(Crf.fit(IndexedSeq.empty))
+    } finally streams.unpersist()
   }
 
   /** Gold spans -> reference-tag oracle (used for round-trip parity and

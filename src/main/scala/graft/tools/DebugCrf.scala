@@ -40,11 +40,15 @@ object DebugCrf {
       val fitSec = (System.nanoTime() - t0) / 1e9
       lazy val distParams = Train.fitCrfDistributed(
         spark, train, epochs = epochs, parts = 8)
+      // iterative parameter mixing: same total epoch work, 6 mixing
+      // rounds of epochs/6 local epochs each (McDonald et al. 2010)
+      lazy val ipmParams = Train.fitCrfDistributed(
+        spark, train, epochs = epochs, parts = 8, rounds = 6)
       val gs = new GazetteerScorer(gazMap, gazN)
       lazy val gazFeatParams = Train.fitCrf(spark, train, epochs = epochs, gazFeat = Some(gs))
       // c2 sweeps measure the plain-CRF arm only
       val variants =
-        if (c2 == 0.1) Seq("crf", "gaz+crf", "crf_gazfeat", "crf_dist8") else Seq("crf")
+        if (c2 == 0.1) Seq("crf", "gaz+crf", "crf_gazfeat", "crf_dist8", "crf_ipm6") else Seq("crf")
       for (variant <- variants) {
       val crf: MentionScorer = new CrfScorer(params)
       val scorer: MentionScorer = variant match {
@@ -52,6 +56,7 @@ object DebugCrf {
         case "gaz+crf"     => new MergeScorer(gs, crf)
         case "crf_gazfeat" => new CrfScorer(gazFeatParams, Some(gs))
         case "crf_dist8"   => new CrfScorer(distParams)
+        case "crf_ipm6"    => new CrfScorer(ipmParams)
       }
       val b = spark.sparkContext.broadcast(scorer)
       def f1On(ds: org.apache.spark.sql.Dataset[graft.core.ParsedSentence]) = {

@@ -34,7 +34,8 @@ object DebugDdi {
     // DIST: the unbounded-training-scale arm (partition-local fits +
     // parameter averaging); MNB: the round-2 generative ablation arm
     val params = spark.sparkContext.broadcast[graft.ner.RawScorer](
-      if (args.contains("DIST")) Relations.fitDistributed(spark, train)
+      if (args.contains("IPM")) Relations.fitDistributed(spark, train, rounds = 5)
+      else if (args.contains("DIST")) Relations.fitDistributed(spark, train)
       else if (args.contains("MNB")) Relations.fitMnb(spark, train)
       else Relations.fit(spark, train))
 

@@ -67,6 +67,20 @@ class PerceptronSpec extends AnyFunSuite {
     assert(gap(6.0) > gap(1.0), "higher int cost must widen the int-vs-none gap")
   }
 
+  test("init warm-start: unseen features keep their init weight; trained ones move") {
+    val base = Perceptron.fit(ex, epochs = 10)
+    // a feature the warm-start data never mentions must ride through
+    // untouched (the IPM contract: partitions that don't see a feature
+    // leave the mixed weight alone)
+    val ghost = "mid=ghostcue"
+    val seeded = base.copy(weights =
+      base.weights + (ghost -> Array.fill(base.classes.length)(0.5)))
+    val warm = Perceptron.fit(ex.take(2), epochs = 1, init = Some(seeded))
+    assert(warm.weights(ghost).toSeq == Seq.fill(base.classes.length)(0.5))
+    // and init classes union with data classes (sorted)
+    assert(warm.classes.toSeq == base.classes.toSeq)
+  }
+
   test("averaging: single-model average is the identity; empty set averages empty") {
     val p = Perceptron.fit(ex, epochs = 5)
     val avg = Perceptron.average(Seq(p))

@@ -73,6 +73,36 @@ class CrfSpec extends AnyFunSuite {
     assert(Crf.viterbi(local, Features.extractFeatures(toks)) == tags)
   }
 
+  test("fit init warm-start: init-only features survive (scaled only by L2 decay)") {
+    val seqs = IndexedSeq(
+      (IndexedSeq[Seq[String]](Seq("f=a"), Seq("f=b")), IndexedSeq("B-drug", "O")))
+    val base = Crf.fit(seqs, epochs = 5)
+    val ghost = "f=ghost"
+    val seeded = base.copy(state =
+      base.state + (ghost -> Array.fill(base.labels.length)(0.25)))
+    val warm = Crf.fit(seqs, epochs = 1, init = Some(seeded))
+    // the ghost feature is never touched by the data, so only the
+    // global L2 scale moves it: same sign, strictly between 0 and init
+    val g = warm.state(ghost)
+    assert(g.forall(v => v > 0.0 && v <= 0.25), g.toSeq.toString)
+    // labels are the union (identical here), sorted
+    assert(warm.labels.toSeq == base.labels.toSeq)
+  }
+
+  test("fitCrfDistributed with mixing rounds solves the toy task (IPM path)") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val sents = (0 until 40).map { d =>
+      graft.core.ParsedSentence("r", s"d$d", f"s$d%03d", "aa bb cc bb",
+        Seq(graft.core.GoldSpan("e0", 0, 4, "drug", "aa bb", "0-4")), Nil)
+    }
+    val ipm = Train.fitCrfDistributed(
+      spark, spark.createDataset(sents), epochs = 30, parts = 2, rounds = 3)
+    val toks = graft.core.Tokenize.tokenize("aa bb cc bb")
+    val tags = Crf.viterbi(ipm, Features.extractFeatures(toks))
+    assert(tags == IndexedSeq("B-drug", "I-drug", "O", "O"), s"got $tags")
+  }
+
   test("fit rejects c2 <= 0 (step size would be NaN and weights silently NaN)") {
     val seqs = IndexedSeq((IndexedSeq(Seq("f=x")), IndexedSeq("O")))
     intercept[IllegalArgumentException](Crf.fit(seqs, c2 = 0.0))
