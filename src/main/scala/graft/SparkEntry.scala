@@ -354,6 +354,9 @@ sigs AS (SELECT doc_id, band,
     * substituted with the real dump dir by Verify before the JSON is
     * written — the oracle SQL the driver sees is fully resolved).
     */
+  private def dump(name: String): String =
+    s"read_parquet('__OUT__/$name.parquet/*.parquet')"
+
   /** DuckDB twin of [[annRecall]]: exact top-3 recomputed from the
     * embeddings table (q19's cosine math) for the queries selected by
     * `queryWhere` ("" = every vector), ANN side read DISTINCT from the
@@ -375,9 +378,6 @@ CAST(coalesce(sum(CASE WHEN ann.query_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS B
 round(coalesce(sum(CASE WHEN ann.query_id IS NOT NULL THEN 1 ELSE 0 END), 0) * 1.0 / count(*), 4) AS recall
 FROM ex LEFT JOIN ann
 ON ex.query_id = ann.query_id AND ex.neighbor_id = ann.neighbor_id"""
-
-  private def dump(name: String): String =
-    s"read_parquet('__OUT__/$name.parquet/*.parquet')"
 
   /** The reference evaluator's math (ml/evaluator.py:105-127) in SQL:
     * per-gold-type counters from a (etype, einfo)-keyed full outer join

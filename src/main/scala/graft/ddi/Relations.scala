@@ -245,14 +245,17 @@ object Relations {
       rounds: Int = 1
   ): Perceptron.PerceptronParams = {
     import spark.implicits._
+    require(rounds >= 1 && epochs % rounds == 0,
+      s"epochs ($epochs) must be a positive multiple of rounds ($rounds) " +
+        "so total update work matches the single-shot arm exactly")
     val parted = examples(spark, sents)
       .map(e => (e.sid, e.e1, e.e2, e.feats, e.label))
       .repartition(parts, col("_1")) // _1 = sid after the tuple map
       .persist()
     try {
-      val perRound = math.max(1, epochs / math.max(1, rounds))
+      val perRound = epochs / rounds
       var cur: Option[Perceptron.PerceptronParams] = None
-      for (_ <- 0 until math.max(1, rounds)) {
+      for (_ <- 0 until rounds) {
         val bc = spark.sparkContext.broadcast(cur)
         val locals = parted
           .mapPartitions { it =>

@@ -98,9 +98,12 @@ object Canonicalize {
     // 47-48s without. The effect bites HARDER the narrower the keys
     // (the long-keyed path shuffles 2.4× fewer bytes, so AQE
     // under-partitions it more aggressively).
-    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
-    val oldCoalesce = spark.conf.getOption(coalesceKey)
-    spark.conf.set(coalesceKey, "false")
+    // first-in saves / last-out restores: two overlapping CC calls on
+    // the same session must not restore each other's intermediate
+    // "false" as if it were the user's setting. Unrelated queries
+    // planned while a CC runs still see coalescing off — harmless for
+    // correctness, documented here for the perf-curious.
+    ccConfEnter(spark)
     try {
       // NOTE: the union's two branches re-plan the upstream edge
       // subtree, but their shuffles canonicalize identically so
@@ -146,7 +149,24 @@ object Canonicalize {
         iter += 1
       }
       labels
-    } finally oldCoalesce.fold(spark.conf.unset(coalesceKey))(spark.conf.set(coalesceKey, _))
+    } finally ccConfExit(spark)
+  }
+
+  private val CoalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+  private val ccConfLock = new Object
+  private var ccConfDepth = 0
+  private var ccConfSaved: Option[String] = None
+  private def ccConfEnter(spark: SparkSession): Unit = ccConfLock.synchronized {
+    if (ccConfDepth == 0) {
+      ccConfSaved = spark.conf.getOption(CoalesceKey)
+      spark.conf.set(CoalesceKey, "false")
+    }
+    ccConfDepth += 1
+  }
+  private def ccConfExit(spark: SparkSession): Unit = ccConfLock.synchronized {
+    ccConfDepth -= 1
+    if (ccConfDepth == 0)
+      ccConfSaved.fold(spark.conf.unset(CoalesceKey))(spark.conf.set(CoalesceKey, _))
   }
 
   /** Driver-side union-find with path compression; labels resolved to

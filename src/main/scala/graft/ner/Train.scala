@@ -207,6 +207,9 @@ object Train {
       parts: Int = 8,
       rounds: Int = 1
   ): Crf.CrfParams = {
+    require(rounds >= 1 && epochs % rounds == 0,
+      s"epochs ($epochs) must be a positive multiple of rounds ($rounds) " +
+        "so total epoch work matches the single-shot arm exactly")
     implicit val enc: org.apache.spark.sql.Encoder[Crf.CrfParams] =
       org.apache.spark.sql.Encoders.kryo[Crf.CrfParams]
     val streams = sentStreams(spark, sents)
@@ -214,9 +217,9 @@ object Train {
       .sortWithinPartitions(col("_1"))
       .persist()
     try {
-      val perRound = math.max(1, epochs / math.max(1, rounds))
+      val perRound = epochs / rounds
       var cur: Option[Crf.CrfParams] = None
-      for (_ <- 0 until math.max(1, rounds)) {
+      for (_ <- 0 until rounds) {
         val bc = spark.sparkContext.broadcast(cur)
         val locals = streams
           .mapPartitions { it =>

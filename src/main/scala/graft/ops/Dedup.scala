@@ -72,7 +72,9 @@ object Dedup {
     * ("lsh" | "simhash") in this JVM. Exact under stage retries /
     * speculation / repeated actions (observe-based, see
     * [[megaObsRegistry]]). Observed metrics arrive via an async
-    * listener, so this waits up to 3 s for them after an action; a 0
+    * listener, so this waits up to 5 s for them after an action (the
+    * budget covers a loaded host's listener-bus lag without stalling a
+    * misuse-before-action caller forever); a 0
     * therefore means EITHER "first action completed, no degradation"
     * OR "no action has completed yet" (e.g. the frame was only
     * planned/explained) — call it only after acting on the returned
@@ -82,7 +84,7 @@ object Dedup {
   def megaBucketCount(op: String): Long = {
     val obs = megaObsRegistry.get(op)
     if (obs == null) return 0L
-    val deadline = System.nanoTime() + 3L * 1000 * 1000 * 1000
+    val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
     while (System.nanoTime() < deadline) {
       obs.future.value match {
         case Some(scala.util.Success(row)) =>

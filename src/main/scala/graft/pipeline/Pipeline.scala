@@ -87,14 +87,7 @@ object Pipeline {
     */
   def featureRows(spark: SparkSession, sents: Dataset[ParsedSentence]): Dataset[FeatureRow] = {
     import spark.implicits._
-    sents.flatMap { s =>
-      val toks = Tokenize.tokenize(s.text)
-      val feats = Features.extractFeatures(toks)
-      toks.indices.map { i =>
-        val t = toks(i)
-        FeatureRow(s.sid, t.form, t.start, t.end, Features.getTag(t, s.entities), feats(i))
-      }
-    }
+    featureRowsIndexed(spark, sents).map(_._2)
   }
 
   /** [[featureRows]] plus the token's sentence position. `(sid, idx)` is
