@@ -34,7 +34,12 @@ object DebugDdi {
     // DIST: the unbounded-training-scale arm (partition-local fits +
     // parameter averaging); MNB: the round-2 generative ablation arm
     val params = spark.sparkContext.broadcast[graft.ner.RawScorer](
-      if (args.contains("IPM")) Relations.fitDistributed(spark, train, rounds = 5)
+      if (args.exists(_.startsWith("IPM")))
+        // IPM or IPM<epochs>x<rounds>, e.g. IPM10x10; bare IPM = 5x5
+        args.collectFirst { case a if a.startsWith("IPM") && a.contains("x") =>
+          val Array(e, r) = a.stripPrefix("IPM").split("x")
+          Relations.fitDistributed(spark, train, epochs = e.toInt, rounds = r.toInt)
+        }.getOrElse(Relations.fitDistributed(spark, train, rounds = 5))
       else if (args.contains("DIST")) Relations.fitDistributed(spark, train)
       else if (args.contains("MNB")) Relations.fitMnb(spark, train)
       else Relations.fit(spark, train))
