@@ -154,19 +154,27 @@ object Canonicalize {
 
   private val CoalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
   private val ccConfLock = new Object
-  private var ccConfDepth = 0
-  private var ccConfSaved: Option[String] = None
+  // per-SESSION depth + saved value (conf is session state — a second
+  // session's CC must save/set its own conf, not ride the first's);
+  // weak keys so stopped sessions don't pin
+  private val ccConfState =
+    new java.util.WeakHashMap[SparkSession, (Int, Option[String])]()
   private def ccConfEnter(spark: SparkSession): Unit = ccConfLock.synchronized {
-    if (ccConfDepth == 0) {
-      ccConfSaved = spark.conf.getOption(CoalesceKey)
-      spark.conf.set(CoalesceKey, "false")
-    }
-    ccConfDepth += 1
+    val (depth, saved) = Option(ccConfState.get(spark)).getOrElse((0, None))
+    val nextSaved =
+      if (depth == 0) {
+        val s = spark.conf.getOption(CoalesceKey)
+        spark.conf.set(CoalesceKey, "false")
+        s
+      } else saved
+    ccConfState.put(spark, (depth + 1, nextSaved))
   }
   private def ccConfExit(spark: SparkSession): Unit = ccConfLock.synchronized {
-    ccConfDepth -= 1
-    if (ccConfDepth == 0)
-      ccConfSaved.fold(spark.conf.unset(CoalesceKey))(spark.conf.set(CoalesceKey, _))
+    val (depth, saved) = Option(ccConfState.get(spark)).getOrElse((1, None))
+    if (depth <= 1) {
+      ccConfState.remove(spark)
+      saved.fold(spark.conf.unset(CoalesceKey))(spark.conf.set(CoalesceKey, _))
+    } else ccConfState.put(spark, (depth - 1, saved))
   }
 
   /** Driver-side union-find with path compression; labels resolved to
