@@ -86,39 +86,53 @@ object Canonicalize {
       localThreshold: Long
   )(implicit enc: org.apache.spark.sql.Encoder[(T, T)]): DataFrame = {
     import spark.implicits._
-    // AQE partition coalescing is DISABLED for the whole CC body (and
-    // restored after): the symmetric edge frame materializes through
-    // localCheckpoint with however many post-shuffle partitions AQE
-    // left it — coalesced, a 15M-edge graph checkpoints into a handful
-    // of partitions and every loop iteration's join runs at that
-    // map-side width — and each iteration's label aggregate is tiny
-    // (one row per node), which AQE would coalesce to 1-2 partitions,
-    // near-serializing the next 15M-row join/agg. Measured on the sf1
-    // dup graph (7.6M edges, long keys): 53-60s with coalescing vs
-    // 47-48s without. The effect bites HARDER the narrower the keys
-    // (the long-keyed path shuffles 2.4× fewer bytes, so AQE
-    // under-partitions it more aggressively).
-    // first-in saves / last-out restores: two overlapping CC calls on
-    // the same session must not restore each other's intermediate
-    // "false" as if it were the user's setting. Unrelated queries
-    // planned while a CC runs still see coalescing off — harmless for
-    // correctness, documented here for the perf-curious.
+    // NOTE: the union's two branches re-plan the upstream edge
+    // subtree, but their shuffles canonicalize identically so
+    // ReuseExchange shares the expensive part; caching edges first
+    // was measured SLOWER at sf0.1 (cache-write overhead > the
+    // residual recompute) — don't "fix" this again.
+    // Materialized under NORMAL confs: small graphs take the
+    // union-find fast path and should not pay the wide-partition tax
+    // the loop needs (measured ~+0.4s on the sf0.1 catalog when the
+    // guard covered this too).
+    // checkpointed BEFORE the branch decision so the (possibly
+    // expensive) upstream edge computation runs exactly once — a lazy
+    // count here was measured to recompute the whole LSH candidate
+    // pipeline twice (sf1 q26: 69s vs 53s). Materialized under NORMAL
+    // confs so the union-find fast path keeps compact partitions.
+    val sym0 = edgesDf
+      .union(edgesDf.select($"dst".as("src"), $"src".as("dst")))
+      .distinct()
+      .localCheckpoint()
+
+    val nEdges = sym0.count()
+    if (nEdges <= localThreshold) {
+      return localUnionFind[T](spark, sym0.as[(T, T)].collect())
+    }
+
+    // Distributed branch: AQE partition coalescing is DISABLED for the
+    // loop (and restored after) — each iteration's label aggregate is
+    // tiny (one row per node), which AQE would coalesce to 1-2
+    // partitions, near-serializing the next multi-million-row
+    // join/agg. Measured on the sf1 dup graph (7.6M edges, long keys):
+    // 53-60s with coalescing vs 47-48s without; the effect bites
+    // HARDER the narrower the keys (narrower keys = fewer shuffle
+    // bytes = more aggressive under-partitioning). The guard also
+    // covers the edge frame's materialization below — its checkpoint
+    // partitioning caps every iteration's map-side width. first-in
+    // saves / last-out restores per session: overlapping CC calls must
+    // not restore each other's intermediate "false"; unrelated queries
+    // planned while a CC runs see coalescing off — harmless for
+    // correctness.
     ccConfEnter(spark)
     try {
-      // NOTE: the union's two branches re-plan the upstream edge
-      // subtree, but their shuffles canonicalize identically so
-      // ReuseExchange shares the expensive part; caching edges first
-      // was measured SLOWER at sf0.1 (cache-write overhead > the
-      // residual recompute) — don't "fix" this again
-      val sym = edgesDf
-        .union(edgesDf.select($"dst".as("src"), $"src".as("dst")))
-        .distinct()
+      // re-spread the checkpointed edge frame to full shuffle width:
+      // its (possibly AQE-coalesced) checkpoint partitioning would cap
+      // every iteration's map-side width otherwise; one cheap extra
+      // shuffle of the edge set, paid only on the big-graph branch
+      val sym = sym0
+        .repartition(spark.sessionState.conf.numShufflePartitions, $"src")
         .localCheckpoint()
-
-      val nEdges = sym.count()
-      if (nEdges <= localThreshold) {
-        return localUnionFind[T](spark, sym.as[(T, T)].collect())
-      }
 
       var labels = sym
         .select($"src".as("node"))
