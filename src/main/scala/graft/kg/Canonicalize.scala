@@ -16,8 +16,16 @@ import org.apache.spark.sql.functions._
   * iteration is one shuffle on the node key; lineage is truncated with
   * `localCheckpoint` every iteration so 20 iterations don't build a
   * 20-deep recursive plan; convergence is checked with a changed-count
-  * aggregate. Component diameter for alias graphs is tiny (variants of
-  * one name), so it converges in < 5 iterations in practice.
+  * aggregate. Since round 5 the loop also POINTER-JUMPS (comp(comp(u))
+  * via a self-join of the label frame), so convergence is O(log
+  * diameter) — a chain-shaped dup graph of diameter d converges in
+  * ~log2(d) rounds instead of d — and a non-converged exit THROWS
+  * instead of returning silently-wrong labels. (Large-star/small-star
+  * alternation reaches the same bound but rewrites the full edge
+  * multigraph twice per round; jumping shuffles only the one-row-per-
+  * node label frame and keeps the edge frame fixed and checkpointed.)
+  * Component diameter for alias graphs is tiny (variants of one name),
+  * so those converge in < 5 iterations in practice.
   */
 object Canonicalize {
 
@@ -147,8 +155,21 @@ object Canonicalize {
         val msgs = sym
           .join(labels.withColumnRenamed("node", "src"), "src")
           .select($"dst".as("node"), $"comp")
-        val next = labels
-          .select($"node", $"comp")
+        // pointer jumping (path doubling): comp(comp(u)) — label
+        // "distance to the component min" halves every iteration, so the
+        // loop converges in O(log diameter) instead of O(diameter)
+        // rounds (a diameter-25 chain converges in 6 iterations, not
+        // 25). The join is on the LABEL frame (one row per node), not
+        // the edge multigraph — the cheap side of the loop. It is total:
+        // every comp value is a node id (initial comp = node; updates
+        // take mins of node-id sets), so comp always resolves in
+        // `labels` and the jump branch keeps exactly one row per node —
+        // which also makes the plain `labels` union branch redundant
+        // (jump(u) <= comp(u) by the comp(x) <= x invariant).
+        val jump = labels.as("a")
+          .join(labels.as("b"), col("a.comp") === col("b.node"))
+          .select(col("a.node").as("node"), col("b.comp").as("comp"))
+        val next = jump
           .union(msgs)
           .groupBy($"node")
           .agg(min($"comp").as("comp"))
@@ -162,6 +183,15 @@ object Canonicalize {
         converged = changed == 0
         iter += 1
       }
+      // A silently-unconverged result is a WRONG answer (labels are
+      // mins over a bounded neighborhood, not the component): fail loud.
+      // With path doubling, maxIter = 20 covers diameter ~2^20, so this
+      // only fires on a genuinely pathological graph or a too-small
+      // caller-supplied maxIter.
+      if (!converged)
+        throw new IllegalStateException(
+          s"connected components did not converge after $maxIter iterations " +
+            s"($nEdges symmetric edges); labels would be incorrect — raise maxIter")
       labels
     } finally ccConfExit(spark)
   }
