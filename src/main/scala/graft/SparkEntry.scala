@@ -185,6 +185,27 @@ object SparkEntry {
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20), 3, nCells = 16, nProbe = 2),
         Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20), 3))
     }),
+    // Clustered-embedding ANN: the driver-visible recall number that
+    // MEANS something (round-4 VERDICT item 5). The embeddings table is
+    // deterministically boosted toward 8 md5-derived cluster centroids
+    // (Similarity.clusterBoost — DuckDB replays the generation exactly),
+    // then multi-probe hyperplane LSH top-3 over it; the companion
+    // recall entry measures it against the exact top-3 and the oracle
+    // replays BOTH the boost and the exact side from the embeddings
+    // table, so a wrong ANN dump OR a wrong boost hash-mismatches.
+    // Unlike kg_ann_recall (~0.02 on isotropic data), this recall is
+    // expected >= 0.9: same-cluster vectors are true neighbors AND
+    // bucket together.
+    "kg_ann_clustered" -> ((s, dir) =>
+      Similarity.bucketedTopK(
+        Similarity.clusterBoost(rd(s, dir, "embeddings")), 3, nPlanes = 6, multiProbe = true)
+        .orderBy("query_id", "rank")),
+    "kg_ann_clustered_recall" -> ((s, dir) => {
+      val emb = Similarity.clusterBoost(rd(s, dir, "embeddings"))
+      annRecall(
+        Similarity.bucketedTopK(emb, 3, nPlanes = 6, multiProbe = true),
+        Similarity.bruteForceTopK(emb, emb, 3))
+    }),
 
     // -------- relational core (DuckDB-verified) -----------------------
     "q01_agg_pushdown" -> ((s, dir) => {
@@ -357,14 +378,33 @@ sigs AS (SELECT doc_id, band,
   private def dump(name: String): String =
     s"read_parquet('__OUT__/$name.parquet/*.parquet')"
 
-  /** DuckDB twin of [[annRecall]]: exact top-3 recomputed from the
-    * embeddings table (q19's cosine math) for the queries selected by
-    * `queryWhere` ("" = every vector), ANN side read DISTINCT from the
-    * named dump.
+  /** (vec_id, i, x) CTE over the raw embeddings table — the exact-side
+    * input for the isotropic recall replays.
     */
-  private def annRecallSql(queryWhere: String, dumpName: String): String =
-    s"""WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+  private val isoEmbCte: String =
+    """e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+generate_subscripts(embedding, 1) AS i FROM embeddings)"""
+
+  /** Clustered twin: replays Similarity.clusterBoost in SQL — same
+    * md5-hex-window centroid component and the identical arithmetic
+    * tree x + 3.0 * (k/1000.0 - 0.5), so the doubles agree exactly
+    * (DuckDB's generate_subscripts is 1-based, Spark's transform index
+    * 0-based — hence i - 1 in the hash input).
+    */
+  private val clusteredEmbCte: String =
+    """e0 AS (SELECT vec_id, vec_id % 8 AS c, unnest(embedding)::DOUBLE AS x,
 generate_subscripts(embedding, 1) AS i FROM embeddings),
+e AS (SELECT vec_id, i,
+x + 3.0 * ((('0x' || substr(md5('c' || CAST(c AS VARCHAR) || '#' || CAST(i - 1 AS VARCHAR)), 1, 8))::BIGINT % 1000) / 1000.0 - 0.5) AS x FROM e0)"""
+
+  /** DuckDB twin of [[annRecall]]: exact top-3 recomputed from the
+    * embeddings table (q19's cosine math; `embCte` picks the raw or
+    * cluster-boosted view) for the queries selected by `queryWhere`
+    * ("" = every vector), ANN side read DISTINCT from the named dump.
+    */
+  private def annRecallSql(
+      queryWhere: String, dumpName: String, embCte: String = isoEmbCte): String =
+    s"""WITH $embCte,
 q AS (SELECT * FROM e $queryWhere),
 s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
 round(sum(q.x * c.x) / sqrt(sum(q.x * q.x) * sum(c.x * c.x)), 4) AS cos
@@ -500,6 +540,11 @@ FROM ap JOIN ex USING (event_type)""",
     // IVF twin: exact top-3 for the vec_id < 20 queries, ANN side from
     // the kg_ann_ivf dump.
     "kg_ann_ivf_recall" -> annRecallSql("WHERE vec_id < 20", "kg_ann_ivf"),
+    // Clustered twin: the boost AND the exact side replayed from the
+    // embeddings table (see clusteredEmbCte), ANN side from the
+    // kg_ann_clustered dump — hash-verifies generation + recall math;
+    // the recall VALUE here is the meaningful >= 0.9 one.
+    "kg_ann_clustered_recall" -> annRecallSql("", "kg_ann_clustered", clusteredEmbCte),
     // Canonicalize.variants + min-label CC replayed in SQL: same string
     // rewrites (paren strip, squash, hyphen drop, deplural), same
     // surface<->variant bipartite edges, same canonical = lexicographic

@@ -56,16 +56,32 @@ object Dedup {
 
   /** Executor-side warning when the mega-bucket guard fires, so the
     * degradation is visible in task logs (not just the metric): states
-    * the bucket size and, for simhash, that non-hub members farther
-    * than maxHamming from the hub lose this band's pair (see the guard
-    * notes in [[lshCandidates]]/[[simhashNearDup]]).
+    * the bucket size and that per-pair output is incomplete for the
+    * bucket (see the guard notes in [[lshCandidates]]/
+    * [[simhashNearDup]]). Rate-limited to the first [[WarnMegaLimit]]
+    * per op per executor JVM — a pathological corpus fires the guard
+    * once per mega bucket per band per task attempt, which would flood
+    * executor logs; the EXACT count is always carried by the observe
+    * metric, the log line is just the human breadcrumb.
     */
-  private def warnMega(op: String, bucketSize: Int, maxBucket: Int): Unit =
-    org.slf4j.LoggerFactory
-      .getLogger("graft.ops.Dedup")
-      .warn(
+  private val WarnMegaLimit = 5L
+  private val warnMegaCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private def warnMega(op: String, bucketSize: Int, maxBucket: Int): Unit = {
+    val n = warnMegaCounts
+      .computeIfAbsent(op, _ => new java.util.concurrent.atomic.AtomicLong())
+      .incrementAndGet()
+    val log = org.slf4j.LoggerFactory.getLogger("graft.ops.Dedup")
+    if (n <= WarnMegaLimit)
+      log.warn(
         s"mega-bucket guard fired (op=$op size=$bucketSize max=$maxBucket): " +
-          "degrading to hub-star pairs; per-pair output is incomplete for this bucket")
+          "degrading to hub-star + hamming-0-collapse pairs; per-pair output " +
+          "may be incomplete for this bucket")
+    else if (n == WarnMegaLimit + 1)
+      log.warn(
+        s"mega-bucket guard fired again (op=$op): suppressing further warnings " +
+          s"in this JVM; the exact bucket count is on the observe metric")
+  }
 
   /** Mega-buckets hit by the first action on the frame returned by the
     * LAST [[lshCandidates]]/[[simhashNearDup]] call of `op`
@@ -81,22 +97,34 @@ object Dedup {
     * frame. Latest-call-wins per op name — concurrent callers should
     * pass their own `megaObs` handle and read `obs.get` instead.
     */
-  def megaBucketCount(op: String): Long = {
+  def megaBucketCount(op: String): Long = megaBucketCountOption(op).getOrElse(0L)
+
+  /** Like [[megaBucketCount]] but distinguishes "no degradation"
+    * (`Some(0)`) from "metrics not available" (`None`): no
+    * [[lshCandidates]]/[[simhashNearDup]] call of `op` has been made,
+    * no action has completed on the returned frame (e.g. it was only
+    * planned/explained), or the observed-metrics listener failed. The
+    * up-to-5 s wait covers a loaded host's listener-bus lag between an
+    * action finishing and its observed metrics arriving; a
+    * misuse-before-action caller gets `None` after the wait instead of
+    * a clean-looking 0.
+    */
+  def megaBucketCountOption(op: String): Option[Long] = {
     val obs = megaObsRegistry.get(op)
-    if (obs == null) return 0L
+    if (obs == null) return None
     val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
     while (System.nanoTime() < deadline) {
       obs.future.value match {
         case Some(scala.util.Success(row)) =>
-          return row.getAs[Any]("megaBuckets") match {
+          return Some(row.getAs[Any]("megaBuckets") match {
             case v: java.lang.Number => v.longValue
             case _                   => 0L
-          }
-        case Some(scala.util.Failure(_)) => return 0L
+          })
+        case Some(scala.util.Failure(_)) => return None
         case None                        => Thread.sleep(20)
       }
     }
-    0L
+    None
   }
 
   /** Exact duplicate groups: digest → group size + representative
@@ -319,9 +347,12 @@ object Dedup {
     * 16 buckets/band turn the bucket join quadratic.)
     *
     * Losslessness holds while every bucket fits `maxBucket`; a mega
-    * bucket degrades to hub-star pairs (see the guard note inside),
-    * counted by the `graft.dedup.megaBuckets.simhash.<seq>` observe
-    * metric ([[megaBucketCount]] / `megaObs`) and logged as an
+    * bucket degrades to hub-star + hamming-0-collapse + representative
+    * pairs (see [[simhashBucketPairs]] — components are preserved
+    * EXACTLY whenever the bucket's distinct simhash values fit
+    * maxBucket, which is every observed mega bucket), counted by the
+    * `graft.dedup.megaBuckets.simhash.<seq>` observe metric
+    * ([[megaBucketCount]] / `megaObs`) and logged as a rate-limited
     * executor-side warning.
     */
   def simhashNearDup(
@@ -357,36 +388,83 @@ object Dedup {
       .observe(obs, megaMetric(size(col("members")), maxBucket))
       .select(col("members"))
       .as[Seq[(Long, Long)]]
-      .flatMap { members =>
-        // hamming filter INSIDE the combination loop: most band
-        // collisions fail the threshold, so the downstream dedup
-        // shuffle only carries true near-dups
-        val s = members.sortBy(_._1)
-        if (s.length > maxBucket) {
-          // mega-bucket guard (see lshCandidates): star pairs against
-          // the min-id hub, O(bucket) instead of O(bucket²). Unlike the
-          // LSH star, hub pairs are still hamming-filtered, so members
-          // near each other but > maxHamming from the hub lose this
-          // band's pair (they may still pair via another band). In
-          // practice a mega bucket is byte-identical boilerplate —
-          // hamming 0 to the hub — so the loss is theoretical; the
-          // counter makes the degradation observable either way.
-          warnMega("simhash", s.length, maxBucket)
-          val (hub, hubSh) = s.head
-          s.iterator.drop(1).flatMap { case (b, bSh) =>
-            val h = java.lang.Long.bitCount(hubSh ^ bSh)
-            if (h <= maxHamming) Iterator((hub, b, h)) else Iterator.empty
-          }
-        } else
-          for {
-            i <- s.indices.iterator
-            j <- (i + 1 until s.length).iterator
-            h = java.lang.Long.bitCount(s(i)._2 ^ s(j)._2)
-            if h <= maxHamming
-          } yield (s(i)._1, s(j)._1, h)
-      }
+      .flatMap(simhashBucketPairs(_, maxBucket, maxHamming))
       .toDF("doc_a", "doc_b", "hamming")
       .dropDuplicates("doc_a", "doc_b") // a pair can agree on several bands
+  }
+
+  /** Pair generation for one simhash band bucket (partition-local body
+    * of [[simhashNearDup]]'s flatMap; package-visible so the mega-bucket
+    * degradation is unit-testable on hand-crafted hamming structure).
+    *
+    * Normal bucket (size <= maxBucket): all combinations, hamming
+    * filter INSIDE the loop — most band collisions fail the threshold,
+    * so the downstream dedup shuffle only carries true near-dups.
+    *
+    * Mega bucket (size > maxBucket; a pathological corpus): bounded
+    * degradation in three bounded pieces instead of the pre-round-5
+    * pure hub-star (which lost every pair between members > maxHamming
+    * from the hub — headroom to the guard was only 1.5× at sf1
+    * concentration, so the loss was about to become real):
+    *   1. hub-star — every member vs the min-id hub, hamming-filtered
+    *      (the old degradation, kept: output stays a superset of it);
+    *   2. hamming-0 collapse — members are grouped by their simhash
+    *      VALUE (a mega bucket is overwhelmingly byte-identical
+    *      boilerplate, i.e. few distinct values); each member pairs
+    *      with its group's min-id representative at hamming 0:
+    *      O(bucket) pairs, exact within-group connectivity;
+    *   3. representative combinations — all-pairs over the distinct-
+    *      value representatives (hamming-filtered) when there are at
+    *      most maxBucket of them: O(min(groups, maxBucket)²), the same
+    *      bound a maximal honest bucket pays.
+    * When the distinct-value count fits maxBucket (every observed mega
+    * bucket: sf1 max 2749 members but single-digit distinct values)
+    * the degraded output has EXACTLY the connected components of the
+    * full O(bucket²) generation: any qualifying pair (a, b) implies
+    * hamming(rep_a, rep_b) = hamming(a, b) <= maxHamming, so the rep
+    * edge plus the two hamming-0 collapse edges reconnect it. Only the
+    * per-pair listing is thinner. With > maxBucket distinct values the
+    * rep combinations are skipped and cross-group completeness falls
+    * back to the hub-star guarantee. Duplicate pairs across the three
+    * pieces carry identical hamming and are collapsed by the caller's
+    * dropDuplicates.
+    */
+  private[ops] def simhashBucketPairs(
+      members: Seq[(Long, Long)],
+      maxBucket: Int,
+      maxHamming: Int
+  ): Iterator[(Long, Long, Int)] = {
+    val s = members.sortBy(_._1)
+    if (s.length > maxBucket) {
+      warnMega("simhash", s.length, maxBucket)
+      val (hub, hubSh) = s.head
+      val star = s.iterator.drop(1).flatMap { case (b, bSh) =>
+        val h = java.lang.Long.bitCount(hubSh ^ bSh)
+        if (h <= maxHamming) Iterator((hub, b, h)) else Iterator.empty
+      }
+      val groups = s.groupBy(_._2)
+      val collapse = groups.valuesIterator.flatMap { ms =>
+        val rep = ms.head._1 // ms preserves s's doc_id order: head = min
+        ms.iterator.drop(1).map(m => (rep, m._1, 0))
+      }
+      val reps = groups.valuesIterator.map(_.head).toArray.sortBy(_._1)
+      val repPairs =
+        if (reps.length <= maxBucket)
+          for {
+            i <- reps.indices.iterator
+            j <- (i + 1 until reps.length).iterator
+            h = java.lang.Long.bitCount(reps(i)._2 ^ reps(j)._2)
+            if h <= maxHamming
+          } yield (reps(i)._1, reps(j)._1, h)
+        else Iterator.empty
+      star ++ collapse ++ repPairs
+    } else
+      for {
+        i <- s.indices.iterator
+        j <- (i + 1 until s.length).iterator
+        h = java.lang.Long.bitCount(s(i)._2 ^ s(j)._2)
+        if h <= maxHamming
+      } yield (s(i)._1, s(j)._1, h)
   }
 
   /** Jaccard similarity over distinct word k-grams for an explicit pair

@@ -67,6 +67,41 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministically CLUSTERED variant of an embeddings table: adds a
+    * strong md5-derived cluster centroid (cluster = vec_id mod
+    * `nClusters`) to every vector, in double precision.
+    *
+    * Purpose: a recall measurement on near-isotropic synthetic
+    * embeddings is honest but uninformative (hyperplane agreement is
+    * close to random — kg_ann_recall measures ~0.02 on the driver
+    * testdata); boosting each vector toward one of `nClusters` shared
+    * centroids creates real neighbor structure, so the ANN recall
+    * number MEANS something, while staying a pure function of the
+    * input table that DuckDB can replay bit-exactly: the centroid
+    * component for (cluster c, dim j) is
+    * `md5("c" + c + "#" + j)[0:8] as int % 1000 / 1000.0 - 0.5` — the
+    * same cross-engine md5-hex-window trick as the minhash band hash —
+    * and the arithmetic tree `x + strength * (k/1000.0 - 0.5)` is kept
+    * identical on both sides so the doubles agree exactly.
+    */
+  def clusterBoost(embeddings: DataFrame, nClusters: Int = 8, strength: Double = 3.0): DataFrame =
+    embeddings.select(
+      col("vec_id"),
+      transform(col("embedding"), (x, i) => {
+        val k = pmod(
+          conv(
+            substring(
+              md5(to_binary(
+                concat(
+                  lit("c"), pmod(col("vec_id"), lit(nClusters)).cast("string"),
+                  lit("#"), i.cast("string")),
+                lit("utf-8"))),
+              1, 8),
+            16, 10).cast("long"),
+          lit(1000L))
+        x.cast("double") + lit(strength) * (k.cast("double") / lit(1000.0) - lit(0.5))
+      }).as("embedding"))
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a hash-derived value in [-0.5, 0.5). No RNG state — reproducible
     * across engines and runs.

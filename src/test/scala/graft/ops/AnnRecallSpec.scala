@@ -63,6 +63,28 @@ class AnnRecallSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  test("clusterBoost turns isotropic vectors into a clustered corpus with meaningful ANN recall") {
+    import spark.implicits._
+    // isotropic noise at the driver testdata shape (64d, sigma ~0.125 —
+    // the regime where kg_ann_recall honestly measures ~0.02) ->
+    // boosted toward 8 md5-derived centroids
+    val rnd = new Random(9)
+    val iso = (0L until 240L).map(i => (i, Seq.fill(64)(rnd.nextGaussian().toFloat * 0.125f)))
+      .toDF("vec_id", "embedding")
+    val boosted = Similarity.clusterBoost(iso, nClusters = 8, strength = 3.0).cache()
+    val exact = neighborSets(Similarity.bruteForceTopK(boosted, boosted, K))
+    val multi = meanRecall(exact,
+      neighborSets(Similarity.bucketedTopK(boosted, K, nPlanes = 6, multiProbe = true)))
+    info(f"clusterBoost multi-probe recall@3: $multi%.3f")
+    assert(multi >= 0.9, f"clustered recall too low: $multi%.3f — the driver entry would be hollow")
+    // deterministic: same input -> bit-identical boosted vectors
+    val a = boosted.orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    val b = Similarity.clusterBoost(iso, nClusters = 8, strength = 3.0)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1))
+    assert(a.zip(b).forall { case (x, y) => x == y })
+    boosted.unpersist()
+  }
+
   test("IVF assignment: every vector gets exactly one cell; cells are stable across runs") {
     val emb = clustered.cache()
     val cents = Similarity.ivfCentroids(emb, 8)

@@ -253,6 +253,49 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.megaBucketCount("simhash") == 4L, "all 4 simhash bands counted")
   }
 
+  test("simhash mega bucket: hamming-0 collapse + rep pairs preserve components the old star lost") {
+    // hand-crafted hamming structure (unit-level on the bucket body —
+    // real text can't place two far-apart near-dup groups in one band
+    // bucket deterministically): group X = 5 members at hash 0, group
+    // Y = 2 members at 0xFF (hamming 8 from X), group Z = 1 member at
+    // 0xFE (hamming 1 from Y, 7 from X). maxBucket=4 -> mega.
+    val members = Seq(
+      (1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (5L, 0L),
+      (10L, 0xffL), (11L, 0xffL), (20L, 0xfeL))
+    val got = Dedup.simhashBucketPairs(members, maxBucket = 4, maxHamming = 3)
+      .toSeq.distinct.toSet
+    // old pure hub-star output: only X members within hamming 3 of hub 1
+    val oldStar = Set((1L, 2L, 0), (1L, 3L, 0), (1L, 4L, 0), (1L, 5L, 0))
+    assert(oldStar.subsetOf(got), "degraded output must stay a superset of the old star")
+    assert(got.contains((10L, 11L, 0)), "hamming-0 collapse pair (was lost pre-round-5)")
+    assert(got.contains((10L, 20L, 1)), "representative pair (was lost pre-round-5)")
+    assert(!got.exists { case (a, b, _) => a <= 5L && b >= 10L },
+      s"no pair may cross the hamming-7 gap: $got")
+    // components == the full O(bucket^2) generation's components
+    val full = Dedup.simhashBucketPairs(members, maxBucket = 10000, maxHamming = 3).toSeq
+    def comps(pairs: Seq[(Long, Long, Int)]): Set[Set[Long]] = {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+      members.foreach { case (id, _) => parent(id) = id }
+      pairs.foreach { case (a, b, _) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+      members.map(_._1).groupBy(find).values.map(_.toSet).toSet
+    }
+    assert(comps(got.toSeq) == comps(full), "degraded components must equal full components")
+  }
+
+  test("simhash mega bucket: > maxBucket distinct values skips rep combinations (bounded work)") {
+    // 6 singleton groups, pairwise far apart except two near ones;
+    // maxBucket=4 < 6 groups: star + collapse only, no rep pairs
+    val far = Seq(0L, 0xff00L, 0xff00000L, 0xf0f0f0f0L, 0xaaaa00000000L)
+    val members = far.zipWithIndex.map { case (h, i) => ((i + 1).toLong, h) } :+ (9L, 1L)
+    val got = Dedup.simhashBucketPairs(members, maxBucket = 4, maxHamming = 3)
+      .toSeq.distinct
+    // hub = 1 (hash 0): star keeps (1, 9) at hamming 1; the rep pair
+    // set is skipped, so output is exactly the star survivors
+    assert(got.toSet == Set((1L, 9L, 1)), s"got $got")
+    assert(got.size <= members.size, "work must stay O(bucket)")
+  }
+
   test("asofJoin: each click sees the latest purchase at-or-before it, else null") {
     import spark.implicits._
     def t(min: Long) = new java.sql.Timestamp(60000L * min)
