@@ -31,6 +31,15 @@ class DocsSyncSpec extends AnyFunSuite {
       "every oracle needs a matching queries entry")
   }
 
+  test("README verification-completeness claim matches SparkEntry arithmetic") {
+    // 52 = 43 oracled + 8 transitively verified dumps + q21 (verified by
+    // the independent XXH64 reimplementation); the transitive count is
+    // total - oracled - 1 and the README sentence must keep pace
+    val transitive = SparkEntry.queries.size - SparkEntry.oracleSql.size - 1
+    assert(claimed("""(\d+) `no_oracle` dumps are transitively""") == transitive,
+      s"README transitive-dump count != queries - oracles - 1 ($transitive)")
+  }
+
   test("README spec count matches the registered test total") {
     // also matches test(s"...") interpolated names; walk stream closed
     // (it holds DirectoryStreams for the whole tree otherwise)
