@@ -58,6 +58,14 @@ object Canonicalize {
     */
   val LocalCcThreshold: Long = 1000000L
 
+  /** Iterations the most recent distributed CC loop took on this
+    * driver (-1 before any run; union-find fast path does not set it).
+    * Debug/spec observability for the O(log diameter) convergence
+    * claim — the loop itself runs driver-side, so a plain volatile is
+    * race-free per call and "last call wins" across concurrent CCs.
+    */
+  @volatile private[kg] var lastIterations: Int = -1
+
   def connectedComponents(
       spark: SparkSession,
       edges: Dataset[(String, String)],
@@ -192,6 +200,11 @@ object Canonicalize {
         throw new IllegalStateException(
           s"connected components did not converge after $maxIter iterations " +
             s"($nEdges symmetric edges); labels would be incorrect — raise maxIter")
+      // operational breadcrumb: iteration count is the O(log diameter)
+      // claim made observable (driver-side log, once per CC call)
+      lastIterations = iter
+      org.slf4j.LoggerFactory.getLogger("graft.kg.Canonicalize")
+        .info(s"connected components converged after $iter iterations ($nEdges symmetric edges)")
       labels
     } finally ccConfExit(spark)
   }

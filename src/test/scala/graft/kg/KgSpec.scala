@@ -36,6 +36,11 @@ class KgSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(cc.size == 26)
     assert(cc.values.forall(_ == "n00"), s"unconverged labels: $cc")
+    // the O(log diameter) claim, mechanically: ~log2(25) + slack, far
+    // under the 25 rounds plain min-label propagation needs
+    assert(Canonicalize.lastIterations > 0 && Canonicalize.lastIterations <= 8,
+      s"pointer jumping should converge a diameter-25 chain in <= 8 iterations, " +
+        s"took ${Canonicalize.lastIterations}")
   }
 
   test("CC distributed loop: non-convergence THROWS instead of returning wrong labels") {
