@@ -83,6 +83,14 @@ object Similarity {
     * same cross-engine md5-hex-window trick as the minhash band hash —
     * and the arithmetic tree `x + strength * (k/1000.0 - 0.5)` is kept
     * identical on both sides so the doubles agree exactly.
+    *
+    * Cost note: the centroid component is recomputed per ROW per dim
+    * (dim md5 digests/row) even though only nClusters × dim distinct
+    * values exist — fine for this op's benchmark-fixture role (µs/row
+    * vs the downstream Θ(n·q) cosine work), but a production variant
+    * at corpus scale would precompute the tiny centroid table
+    * driver-side and broadcast it (the dim count isn't statically
+    * known here, which is why this one stays pure-lazy).
     */
   def clusterBoost(embeddings: DataFrame, nClusters: Int = 8, strength: Double = 3.0): DataFrame =
     embeddings.select(
