@@ -84,4 +84,15 @@ class PlanSpec extends AnyFunSuite {
     val explodes = "Generate explode".r.findAllIn(plan).length
     assert(explodes <= 1, s"expected at most 1 explode (query probes), got $explodes:\n" + plan)
   }
+
+  test("kg_ann_clustered: bucket-KEYED join (never a nested-loop cross product)") {
+    // the clustered ANN is the scale-path shape: probe fan-out on the
+    // query side only, equi-join on the bucket key — a regression to
+    // BroadcastNestedLoopJoin would be the quadratic plan the op exists
+    // to avoid. Native cosine must survive the boost projection too.
+    val plan = planOf(SparkEntry.queries("kg_ann_clustered")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "clustered ANN degraded to a nested-loop cross product:\n" + plan)
+    assert(plan.contains("cosine_sim"), "native CosineSim missing from the clustered ANN plan")
+  }
 }
