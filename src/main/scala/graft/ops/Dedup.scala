@@ -208,6 +208,23 @@ object Dedup {
       bands: Int,
       k: Int,
       hashFn: (Column, Int) => Column
+  ): DataFrame = minhashWithFp(docs, bands, k, hashFn).drop("fp")
+
+  /** [[minhashWith]] plus a per-doc full-signature fingerprint `fp` =
+    * xxhash64(sig0..sigN): identical texts have identical shingle sets,
+    * hence identical signatures in EVERY band, hence equal fp — so fp
+    * groups a mega bucket's identical-doc mass exactly, and it is FREE:
+    * computed on the (doc_id, sig0..sigN) aggregate the signature
+    * pipeline already produces, before the stack — no extra shuffle.
+    * (An fp collision between different texts needs all N band minima
+    * to collide; for CC purposes such docs are precisely what
+    * minBands = N would call duplicates, so grouping them is benign.)
+    */
+  private def minhashWithFp(
+      docs: DataFrame,
+      bands: Int,
+      k: Int,
+      hashFn: (Column, Int) => Column
   ): DataFrame = {
     // all band-minimums in ONE partial+final hash aggregation: the
     // shuffle carries `bands` longs per doc instead of
@@ -222,6 +239,7 @@ object Dedup {
     val stackExpr = (0 until bands).map(b => s"$b, sig$b").mkString(", ")
     agg.select(
       col("doc_id"),
+      xxhash64((0 until bands).map(b => col(s"sig$b")): _*).as("fp"),
       expr(s"stack($bands, $stackExpr) as (band, sig)")
     )
   }
@@ -242,20 +260,24 @@ object Dedup {
     *
     * Mega-bucket guard: a bucket larger than `maxBucket` (a pathological
     * corpus — the "run exact dedup first" advice ignored) degrades
-    * PREDICTABLY to star-shaped pairs (every member paired with the
-    * bucket's min doc_id): O(bucket) output instead of O(bucket²), so
-    * one degenerate signature cannot OOM a task or emit 10^13 rows.
-    * Degradation semantics, stated exactly: every member of a mega
-    * bucket stays connected through the hub, so [[nearDupClusters]] at
-    * its default `minBands = 1` produces IDENTICAL components; per-pair
-    * listings lose the intra-bucket non-hub pairs, and a mega band
-    * contributes at most 1 to `n_shared_bands` of a non-hub pair — so a
-    * `minBands >= 2` caller may lose edges whose extra support came
-    * only from mega bands. Mega buckets are counted by an
-    * action-scoped `Dataset.observe` metric on the bucket frame
-    * (Spark-UI name `graft.dedup.megaBuckets.lsh.<seq>`), read via
+    * PREDICTABLY to O(bucket) output instead of O(bucket²), so one
+    * degenerate signature cannot OOM a task or emit 10^13 rows. Since
+    * round 5 the degradation is GROUP-AWARE via a free full-signature
+    * fingerprint (see [[lshBucketPairs]]): identical documents — the
+    * realistic mega mass — collapse onto per-group representatives and
+    * keep their FULL `n_shared_bands` support (the earlier pure
+    * hub-star gave every non-hub mega pair support 1, silently starving
+    * `minBands >= 2` callers); cross-group members connect through the
+    * bucket hub as before, so [[nearDupClusters]] at its default
+    * `minBands = 1` produces IDENTICAL components and per-pair listings
+    * lose only cross-group non-hub pairs. The fingerprint costs 8
+    * bytes per (doc, band) row in the one bucket shuffle — no extra
+    * shuffle stage. Mega buckets are counted by an action-scoped
+    * `Dataset.observe` metric on the bucket frame (Spark-UI name
+    * `graft.dedup.megaBuckets.lsh.<seq>`), read via
     * [[megaBucketCount]] or a caller-provided `megaObs` handle; each
-    * degradation additionally logs an executor-side warning.
+    * degradation additionally logs a rate-limited executor-side
+    * warning.
     */
   def lshCandidates(
       docs: DataFrame,
@@ -268,29 +290,64 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val obs = megaObservation("lsh", megaObs)
-    val sig =
-      if (fast) minhashSignaturesFast(docs, bands, k)
-      else minhashSignatures(docs, bands, k)
-    sig
+    val hashFn: (Column, Int) => Column =
+      if (fast) (sh, b) => xxhash64(sh, lit(b)) else bandHash
+    minhashWithFp(docs, bands, k, hashFn)
       .groupBy(col("band"), col("sig"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .observe(obs, megaMetric(size(col("ids")), maxBucket))
-      .select(col("ids"))
-      .as[Seq[Long]]
-      .flatMap { ids =>
-        val s = ids.sorted
-        if (s.length > maxBucket) {
-          warnMega("lsh", s.length, maxBucket)
-          val hub = s.head
-          s.iterator.drop(1).map(b => (hub, b))
-        } else
-          for { i <- s.indices.iterator; j <- (i + 1 until s.length).iterator }
-            yield (s(i), s(j))
-      }
+      .agg(collect_list(struct(col("doc_id"), col("fp"))).as("members"))
+      .filter(size(col("members")) > 1)
+      .observe(obs, megaMetric(size(col("members")), maxBucket))
+      .select(col("members"))
+      .as[Seq[(Long, Long)]]
+      .flatMap(lshBucketPairs(_, maxBucket))
       .toDF("doc_a", "doc_b")
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** Pair generation for one LSH band bucket of (doc_id, fp) members
+    * (partition-local body of [[lshCandidates]]'s flatMap;
+    * package-visible for unit tests). Emits each unordered pair AT MOST
+    * ONCE per bucket — the downstream per-pair count aggregates band
+    * support, so a within-bucket duplicate would inflate
+    * `n_shared_bands`.
+    *
+    * Normal bucket: all combinations.
+    *
+    * Mega bucket (> maxBucket; pathological corpus): since round 5 the
+    * star degrades GROUP-AWARE using the full-signature fingerprint —
+    * the realistic mega mass is identical documents, and identical
+    * documents share `fp`:
+    *   1. within each fp group, every member pairs with the group's
+    *      min-id representative — and because equal-fp docs share ALL
+    *      band buckets, these pairs re-emit in every band, so
+    *      identical-doc pairs keep their FULL n_shared_bands support
+    *      (the pre-round-5 hub-star gave every non-hub pair support 1,
+    *      which silently broke `minBands >= 2` callers);
+    *   2. the bucket's min-id hub pairs with every member OUTSIDE its
+    *      own fp group (cross-group connectivity, support = number of
+    *      co-bucketing bands, as before).
+    * Output is a superset of the old hub-star pair set, component
+    * structure is preserved exactly at any minBands whose edges are
+    * within-group, and work stays O(bucket).
+    */
+  private[ops] def lshBucketPairs(
+      members: Seq[(Long, Long)],
+      maxBucket: Int
+  ): Iterator[(Long, Long)] = {
+    val s = members.sortBy(_._1)
+    if (s.length > maxBucket) {
+      warnMega("lsh", s.length, maxBucket)
+      val (hub, hubFp) = s.head
+      val collapse = s.groupBy(_._2).valuesIterator.flatMap { ms =>
+        val rep = ms.head._1 // ms preserves s's doc_id order: head = min
+        ms.iterator.drop(1).map(m => (rep, m._1))
+      }
+      val star = s.iterator.filter(_._2 != hubFp).map { case (b, _) => (hub, b) }
+      collapse ++ star
+    } else
+      for { i <- s.indices.iterator; j <- (i + 1 until s.length).iterator }
+        yield (s(i)._1, s(j)._1)
   }
 
   /** Near-duplicate CLUSTERS: LSH candidate pairs (sharing >= `minBands`
@@ -310,10 +367,12 @@ object Dedup {
     * zero-padded replay.
     *
     * Mega-bucket caveat: at the default `minBands = 1` the guard's
-    * hub-star degradation preserves components exactly (every member
-    * stays hub-connected); with `minBands >= 2` an edge whose extra
-    * band support came only from mega buckets can be lost — watch
-    * [[megaBucketCount]]("lsh") when raising `minBands`.
+    * degradation preserves components exactly (every member stays
+    * hub-connected); with `minBands >= 2`, identical-doc edges keep
+    * full band support since round 5 (fp-group collapse,
+    * [[lshBucketPairs]]) and only cross-group mega edges can lose
+    * support — watch [[megaBucketCount]]("lsh") when raising
+    * `minBands`.
     */
   def nearDupClusters(
       spark: org.apache.spark.sql.SparkSession,

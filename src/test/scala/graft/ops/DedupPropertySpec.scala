@@ -88,4 +88,34 @@ class DedupPropertySpec extends AnyFunSuite {
       valid && superset && compsOk
     })
   }
+
+  test("property: LSH mega-bucket degradation — unique valid pairs, old-star superset, components always exact") {
+    val gen = for {
+      ms <- membersGen // (doc_id, fp) — fp pool doubles as signature fingerprints
+      maxBucket <- Gen.choose(1, 6)
+    } yield (ms, maxBucket)
+
+    check(Prop.forAll(gen) { case (ms, maxBucket) =>
+      val degraded = Dedup.lshBucketPairs(ms, maxBucket).toList
+      val ids = ms.map(_._1).toSet
+      // (1) ordered, real, and emitted AT MOST ONCE per bucket — a
+      // within-bucket duplicate would inflate n_shared_bands downstream
+      val valid = degraded.forall { case (a, b) => a < b && ids(a) && ids(b) }
+      val unique = degraded.distinct.size == degraded.size
+      // (2) superset of the old pure hub-star
+      val superset =
+        ms.size <= maxBucket || {
+          val hub = ms.map(_._1).min
+          val star = ids.filter(_ != hub).map(m => (hub, m))
+          star.subsetOf(degraded.toSet)
+        }
+      // (3) LSH degradation preserves components UNCONDITIONALLY (no
+      // hamming filter): the whole bucket is one component either way
+      val full = Dedup.lshBucketPairs(ms, Int.MaxValue).toList
+      def compsOf(pairs: List[(Long, Long)]) =
+        comps(ms, pairs.map { case (a, b) => (a, b, 0) })
+      val compsOk = compsOf(degraded) == compsOf(full)
+      valid && unique && superset && compsOk
+    })
+  }
 }

@@ -253,6 +253,40 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.megaBucketCount("simhash") == 4L, "all 4 simhash bands counted")
   }
 
+  test("LSH mega bucket: fp-group collapse keeps identical-doc pairs at full band support") {
+    import spark.implicits._
+    // group A: 10 identical docs (ids 10..19); X: id 1 (the SMALLEST id
+    // — under the old pure hub-star, X became the hub and every
+    // A-internal pair was LOST), sharing most shingles with A so at
+    // least one minhash band collides
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tX = tA + " lambda"
+    val d = ((10L to 19L).map(i => (i, tA)) :+ (1L, tX)).toDF("doc_id", "text")
+    def pairsOf(maxBucket: Int): Map[(Long, Long), Long] =
+      Dedup.lshCandidates(d, maxBucket = maxBucket).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val full = pairsOf(10000)
+    assume(full.keys.exists(_._1 == 1L), "setup: X must collide with A in >= 1 band")
+    val guarded = pairsOf(4) // bucket size 11 > 4 in every colliding band
+    // A's rep (min id 10) pairs with every other A member at FULL
+    // support — the old star (hub = 1 = X) emitted none of these
+    (11L to 19L).foreach { m =>
+      assert(guarded.get((10L, m)).contains(8L),
+        s"identical-doc pair (10,$m) must survive at full support: ${guarded.get((10L, m))}")
+    }
+    // cross-group hub pairs keep their honest (partial) support
+    assert(guarded.keys.exists(_._1 == 1L), "hub-to-group star pair missing")
+    // components identical to the unguarded run
+    def comps(ps: Iterable[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+      (1L +: (10L to 19L)).foreach(i => parent(i) = i)
+      ps.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    assert(comps(guarded.keys).values.toSet.size == comps(full.keys).values.toSet.size)
+  }
+
   test("simhash mega bucket: hamming-0 collapse + rep pairs preserve components the old star lost") {
     // hand-crafted hamming structure (unit-level on the bucket body —
     // real text can't place two far-apart near-dup groups in one band
