@@ -1,0 +1,111 @@
+package graft.tools
+
+import graft.ops.Dedup
+import org.apache.spark.sql.{Observation, SparkSession}
+
+/** Empirical mega-bucket drill on the REAL sf1 corpus (round-4 VERDICT
+  * watch item: simhash guard headroom was only 1.5× — max band bucket
+  * 2749 vs maxBucket 4096 — so "the guard WILL fire at the next 2× of
+  * a small-vocab corpus"): force the guard to fire TODAY by lowering
+  * maxBucket below the observed concentration and measure exactly what
+  * degrades.
+  *
+  * Hard claims (fail the run):
+  *   - guarded pairs ⊆ lossless pairs (degradation never invents a
+  *     pair, and every emitted pair is a true ≤ maxHamming near-dup);
+  *   - the observe counter reports a positive degraded-bucket count
+  *     (the drill is vacuous otherwise).
+  *
+  * Reported, not asserted: component equality and the component-count
+  * delta. The round-5 collapse guarantees exact components only when a
+  * mega bucket's DISTINCT simhash values fit maxBucket (identical-doc
+  * mass — the realistic web-corpus mega regime). This synthetic
+  * fixed-vocab corpus is the OTHER regime: its band buckets are
+  * hash-diverse, so forcing the guard low enough to fire loses
+  * cross-group pairs by design (O(bucket) work cannot be
+  * pair-complete over diverse hashes) — the drill quantifies exactly
+  * how much. Measured at sf1 (see BENCH/BASELINE.md): maxBucket=512
+  * trips 33 buckets, keeps 58% of pairs, and splits components;
+  * maxBucket=4096 (default) trips nothing at sf1 concentration.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/tmp/sf1 runMain graft.tools.MegaDrill [maxBucket]
+  * Prints one JSON line; nonzero exit if a hard claim fails.
+  */
+object MegaDrill {
+  def main(args: Array[String]): Unit = {
+    val maxBucket = args.headOption.map(_.toInt).getOrElse(512)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val augmentN = args.lift(1).map(_.toInt).getOrElse(0)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    // optional second arm: inject an identical-doc mass (the regime the
+    // round-5 collapse targets — template/boilerplate duplication) so a
+    // maxBucket BETWEEN the corpus's diverse-bucket max and the mass
+    // size trips ONLY on the duplicate group, where components must
+    // stay exact
+    val docs =
+      if (augmentN <= 0) base
+      else {
+        import org.apache.spark.sql.functions._
+        base.select(col("doc_id"), col("text")).union(
+          spark.range(augmentN).select(
+            (col("id") + 10000000L).as("doc_id"),
+            lit("the query ran fast on the big table and the rows were small").as("text")))
+      }
+
+    def pairSet(maxB: Int, obs: Option[Observation]): Set[(Long, Long)] =
+      Dedup.simhashNearDup(docs, maxHamming = 3, maxBucket = maxB, megaObs = obs)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val full = pairSet(Int.MaxValue, None) // lossless pigeonhole banding
+    val obs = Observation("megadrill")
+    val guarded = pairSet(maxBucket, Some(obs))
+    val megaBuckets = obs.get("megaBuckets") match {
+      case n: java.lang.Number => n.longValue
+      case _                   => -1L
+    }
+
+    def comps(pairs: Set[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+      pairs.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+      }
+      val minOfRoot = parent.keys.toSeq.groupBy(find).view.mapValues(_.min).toMap
+      parent.keys.map(k => k -> minOfRoot(find(k))).toMap
+    }
+    // nodes of guarded ⊆ nodes of full (subset claim covers edges); for
+    // component equality compare over full's node set with singleton
+    // default — a node guarded never pairs must be a singleton there
+    val cf = comps(full)
+    val cg = comps(guarded)
+    val componentsEqual = cf.keys.forall { n =>
+      cf(n) == cg.getOrElse(n, n) ||
+        // label values may differ only if membership differs; compare sets
+        cf.filter(_._2 == cf(n)).keySet ==
+          (if (cg.contains(n)) cg.filter(_._2 == cg(n)).keySet else Set(n))
+    }
+    val subset = guarded.subsetOf(full)
+    val nCompsFull = cf.values.toSet.size
+    val nCompsGuarded =
+      (cg.values.toSet ++ cf.keys.filterNot(cg.contains)).size
+
+    val json =
+      s"""{"maxBucket":$maxBucket,"mega_buckets":$megaBuckets,"pairs_full":${full.size},""" +
+        s""""pairs_guarded":${guarded.size},"subset":$subset,"components_equal":$componentsEqual,""" +
+        s""""n_components_full":$nCompsFull,"n_components_guarded":$nCompsGuarded}"""
+    println(json)
+    spark.stop()
+    require(megaBuckets > 0, "drill vacuous: the guard never fired — lower maxBucket")
+    require(subset, "degradation emitted a pair the lossless run does not have")
+  }
+}
