@@ -93,7 +93,7 @@ object Bench {
     * seeded: a regenerated dataset is bit-identical to the round-4
     * soak's documents/embeddings draw.
     */
-  private def ensureSf1(): String = {
+  private[graft] def ensureSf1(): String = {
     val dir = "/tmp/sf1"
     val marker = java.nio.file.Paths.get(dir, "embeddings.parquet")
     if (!java.nio.file.Files.exists(marker)) {

@@ -234,44 +234,16 @@ object Canonicalize {
     } else ccConfState.put(spark, (depth - 1, saved))
   }
 
-  /** Driver-side union-find with path compression; labels resolved to
-    * the Ordering-minimum of each component (identical contract to the
-    * distributed loop: lexicographic min for strings, numeric min for
-    * longs).
+  /** Small-graph fast path: [[UnionFind.minLabels]] on the collected
+    * symmetric edge set (identical contract to the distributed loop:
+    * lexicographic min for strings, numeric min for longs).
     */
   private def localUnionFind[T: Ordering](
       spark: SparkSession,
       sym: Array[(T, T)]
-  )(implicit enc: org.apache.spark.sql.Encoder[(T, T)]): DataFrame = {
-    val ord = implicitly[Ordering[T]]
-    val parent = scala.collection.mutable.HashMap.empty[T, T]
-    def find(x: T): T = {
-      var root = x
-      while (parent.getOrElse(root, root) != root) root = parent.getOrElse(root, root)
-      var cur = x
-      while (parent.getOrElse(cur, cur) != root) {
-        val next = parent.getOrElse(cur, cur)
-        parent(cur) = root
-        cur = next
-      }
-      root
-    }
-    sym.foreach { case (a, b) =>
-      parent.getOrElseUpdate(a, a)
-      parent.getOrElseUpdate(b, b)
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(ra) = rb
-    }
-    val nodes = parent.keys.toSeq
-    val minOfRoot = scala.collection.mutable.HashMap.empty[T, T]
-    nodes.foreach { n =>
-      val r = find(n)
-      val cur = minOfRoot.get(r)
-      if (cur.isEmpty || ord.lt(n, cur.get)) minOfRoot(r) = n
-    }
-    spark.createDataset(nodes.map(n => (n, minOfRoot(find(n)))))
+  )(implicit enc: org.apache.spark.sql.Encoder[(T, T)]): DataFrame =
+    spark.createDataset(UnionFind.minLabels(Nil, sym).toSeq)
       .toDF("node", "comp")
-  }
 
   /** Map each distinct surface to its canonical name: build the
     * surface↔variant bipartite edge set, run CC, then canonical =

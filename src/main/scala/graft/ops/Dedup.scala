@@ -216,9 +216,13 @@ object Dedup {
     * groups a mega bucket's identical-doc mass exactly, and it is FREE:
     * computed on the (doc_id, sig0..sigN) aggregate the signature
     * pipeline already produces, before the stack — no extra shuffle.
-    * (An fp collision between different texts needs all N band minima
-    * to collide; for CC purposes such docs are precisely what
-    * minBands = N would call duplicates, so grouping them is benign.)
+    * (fp equality does NOT guarantee identical signature vectors — two
+    * different vectors can collide in the 64-bit hash with probability
+    * ~2^-64. A colliding pair would merely be grouped together inside a
+    * bucket they already co-occupy, emitting a (rep, member) pair that
+    * is still a legitimate same-bucket candidate — connectivity and the
+    * subset guarantee are unaffected; only its n_shared_bands could
+    * read high. Do not rely on fp equality implying per-band equality.)
     */
   private def minhashWithFp(
       docs: DataFrame,
@@ -269,8 +273,11 @@ object Dedup {
     * hub-star gave every non-hub mega pair support 1, silently starving
     * `minBands >= 2` callers); cross-group members connect through the
     * bucket hub as before, so [[nearDupClusters]] at its default
-    * `minBands = 1` produces IDENTICAL components and per-pair listings
-    * lose only cross-group non-hub pairs. The fingerprint costs 8
+    * `minBands = 1` produces IDENTICAL components. Per-pair listings
+    * remain star-shaped under degradation: within a group only
+    * (representative, member) pairs are emitted (two non-rep members of
+    * the same group stay connected through the rep but do NOT appear as
+    * a pair), and across groups only (hub, member) pairs do. The fingerprint costs 8
     * bytes per (doc, band) row in the one bucket shuffle — no extra
     * shuffle stage. Mega buckets are counted by an action-scoped
     * `Dataset.observe` metric on the bucket frame (Spark-UI name

@@ -28,13 +28,16 @@ import org.apache.spark.sql.{Observation, SparkSession}
   * trips 33 buckets, keeps 58% of pairs, and splits components;
   * maxBucket=4096 (default) trips nothing at sf1 concentration.
   *
-  * Usage: SPARK_GRAFT_SF_DIR=/tmp/sf1 runMain graft.tools.MegaDrill [maxBucket]
-  * Prints one JSON line; nonzero exit if a hard claim fails.
+  * Usage: runMain graft.tools.MegaDrill [maxBucket] [augmentN]
+  * (`augmentN` > 0 injects that many copies of one boilerplate doc —
+  * the identical-doc arm). Input = SPARK_GRAFT_SF_DIR, defaulting to
+  * /tmp/sf1 regenerated-if-missing like `graft.Bench sf1`. Prints one
+  * JSON line; nonzero exit if a hard claim fails.
   */
 object MegaDrill {
   def main(args: Array[String]): Unit = {
     val maxBucket = args.headOption.map(_.toInt).getOrElse(512)
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", graft.Bench.ensureSf1())
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val augmentN = args.lift(1).map(_.toInt).getOrElse(0)
     val spark = SparkSession.builder()
@@ -73,21 +76,11 @@ object MegaDrill {
       case _                   => -1L
     }
 
-    def comps(pairs: Set[(Long, Long)]): Map[Long, Long] = {
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
-      pairs.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
-      }
-      val minOfRoot = parent.keys.toSeq.groupBy(find).view.mapValues(_.min).toMap
-      parent.keys.map(k => k -> minOfRoot(find(k))).toMap
-    }
     // nodes of guarded ⊆ nodes of full (subset claim covers edges); for
     // component equality compare over full's node set with singleton
     // default — a node guarded never pairs must be a singleton there
-    val cf = comps(full)
-    val cg = comps(guarded)
+    val cf = graft.kg.UnionFind.minLabels(Nil, full)
+    val cg = graft.kg.UnionFind.minLabels(Nil, guarded)
     val componentsEqual = cf.keys.forall { n =>
       cf(n) == cg.getOrElse(n, n) ||
         // label values may differ only if membership differs; compare sets

@@ -43,16 +43,8 @@ class DedupPropertySpec extends AnyFunSuite {
   } yield ids.toList.zip(hs)
 
   private def comps(
-      members: List[(Long, Long)], pairs: Seq[(Long, Long, Int)]): Map[Long, Long] = {
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-    def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
-    members.foreach { case (id, _) => parent(id) = id }
-    pairs.foreach { case (a, b, _) =>
-      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
-    }
-    val minOfRoot = members.map(_._1).groupBy(find).view.mapValues(_.min).toMap
-    members.map { case (id, _) => id -> minOfRoot(find(id)) }.toMap
-  }
+      members: List[(Long, Long)], pairs: Seq[(Long, Long, Int)]): Map[Long, Long] =
+    graft.kg.UnionFind.minLabels(members.map(_._1), pairs.map(p => (p._1, p._2)))
 
   test("property: mega-bucket degradation — valid pairs, hub-star superset, exact components when distinct values fit") {
     val gen = for {

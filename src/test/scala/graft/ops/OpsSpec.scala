@@ -277,13 +277,8 @@ class OpsSpec extends AnyFunSuite {
     // cross-group hub pairs keep their honest (partial) support
     assert(guarded.keys.exists(_._1 == 1L), "hub-to-group star pair missing")
     // components identical to the unguarded run
-    def comps(ps: Iterable[(Long, Long)]): Map[Long, Long] = {
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
-      (1L +: (10L to 19L)).foreach(i => parent(i) = i)
-      ps.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
-      parent.keys.map(k => k -> find(k)).toMap
-    }
+    def comps(ps: Iterable[(Long, Long)]): Map[Long, Long] =
+      graft.kg.UnionFind.minLabels(1L +: (10L to 19L), ps)
     assert(comps(guarded.keys).values.toSet.size == comps(full.keys).values.toSet.size)
   }
 
@@ -307,13 +302,9 @@ class OpsSpec extends AnyFunSuite {
       s"no pair may cross the hamming-7 gap: $got")
     // components == the full O(bucket^2) generation's components
     val full = Dedup.simhashBucketPairs(members, maxBucket = 10000, maxHamming = 3).toSeq
-    def comps(pairs: Seq[(Long, Long, Int)]): Set[Set[Long]] = {
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
-      members.foreach { case (id, _) => parent(id) = id }
-      pairs.foreach { case (a, b, _) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
-      members.map(_._1).groupBy(find).values.map(_.toSet).toSet
-    }
+    def comps(pairs: Seq[(Long, Long, Int)]): Set[Set[Long]] =
+      graft.kg.UnionFind.minLabels(members.map(_._1), pairs.map(p => (p._1, p._2)))
+        .groupBy(_._2).values.map(_.keySet).toSet
     assert(comps(got.toSeq) == comps(full), "degraded components must equal full components")
   }
 
