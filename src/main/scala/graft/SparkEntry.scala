@@ -206,6 +206,16 @@ object SparkEntry {
         Similarity.bucketedTopK(emb, 3, nPlanes = 6, multiProbe = true),
         Similarity.bruteForceTopK(emb, emb, 3))
     }),
+    // End-to-end embedding dedup on the ANN scale path: the SAME
+    // multi-probe top-3 as kg_ann_clustered, thresholded at cos >= 0.9,
+    // becomes a duplicate graph; CC assigns min-member cluster ids.
+    // DuckDB replays the whole thing from the kg_ann_clustered dump
+    // (threshold + WITH RECURSIVE min-label CC, the q26 pattern) — a
+    // wrong edge set, threshold, or component assignment hash-mismatches.
+    "kg_ann_cluster_map" -> ((s, dir) =>
+      Similarity.annNearDupClusters(
+        s, Similarity.clusterBoost(rd(s, dir, "embeddings")), threshold = 0.9,
+        k = 3, nPlanes = 6, multiProbe = true)),
 
     // -------- relational core (DuckDB-verified) -----------------------
     "q01_agg_pushdown" -> ((s, dir) => {
@@ -545,6 +555,20 @@ FROM ap JOIN ex USING (event_type)""",
     // kg_ann_clustered dump — hash-verifies generation + recall math;
     // the recall VALUE here is the meaningful >= 0.9 one.
     "kg_ann_clustered_recall" -> annRecallSql("", "kg_ann_clustered", clusteredEmbCte),
+    // ANN cluster map replay (q26's CC pattern over the ANN dump):
+    // same threshold, same min-label components, vectors without a
+    // qualifying neighbor cluster to themselves.
+    "kg_ann_cluster_map" ->
+      s"""WITH p AS (SELECT least(query_id, neighbor_id) AS a,
+greatest(query_id, neighbor_id) AS b
+FROM ${dump("kg_ann_clustered")} WHERE cos >= 0.9),
+raw AS (SELECT DISTINCT lpad(CAST(a AS VARCHAR), 19, '0') AS src,
+               lpad(CAST(b AS VARCHAR), 19, '0') AS dst FROM p),
+e AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+$ccLblCte
+SELECT v.vec_id, COALESCE(CAST(l.comp AS BIGINT), v.vec_id) AS cluster_id
+FROM (SELECT DISTINCT vec_id FROM embeddings) v
+LEFT JOIN lbl l ON lpad(CAST(v.vec_id AS VARCHAR), 19, '0') = l.node""",
     // Canonicalize.variants + min-label CC replayed in SQL: same string
     // rewrites (paren strip, squash, hyphen drop, deplural), same
     // surface<->variant bipartite edges, same canonical = lexicographic

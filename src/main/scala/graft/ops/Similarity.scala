@@ -223,6 +223,43 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** End-to-end embedding near-duplicate CLUSTERS on the ANN scale
+    * path: multi-probe hyperplane-LSH top-k candidates, thresholded on
+    * cosine, become edges of a duplicate graph; connected components
+    * assign every vector a cluster whose id is its smallest member
+    * (vectors with no qualifying neighbor cluster to themselves). This
+    * is the embedding twin of [[graft.ops.Dedup.nearDupClusters]] — the
+    * exact-verifier arm is `embeddingNearDup` (Θ(n²) by role); THIS is
+    * what runs corpus-wide at 10^12 rows: candidate generation is
+    * bucket-keyed (no all-pairs anywhere), the edge set is bounded by
+    * n·k, and the CC is the same long-keyed loop as document dedup.
+    *
+    * Recall caveat inherited from ANN: a true near-dup pair outside the
+    * top-k candidates (or missed by every probe) is not an edge — on
+    * clustered data the measured cluster recovery is near-total
+    * (AnnRecallSpec), but this is approximate by contract.
+    */
+  def annNearDupClusters(
+      spark: org.apache.spark.sql.SparkSession,
+      embeddings: DataFrame,
+      threshold: Double,
+      k: Int = 3,
+      nPlanes: Int = 6,
+      multiProbe: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val edges = bucketedTopK(embeddings, k, nPlanes, multiProbe)
+      .filter(col("cos") >= threshold)
+      .select(
+        least(col("query_id"), col("neighbor_id")).as("a"),
+        greatest(col("query_id"), col("neighbor_id")).as("b"))
+      .as[(Long, Long)]
+    val cc = graft.kg.Canonicalize.connectedComponentsLong(spark, edges)
+      .select(col("node").as("vec_id"), col("comp").as("cluster_id"))
+    embeddings.select(col("vec_id"))
+      .join(cc, Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("vec_id")))
+  }
+
   /** ANN top-k restricted to same-bucket candidates (the scale path).
     * Recall < 1 by construction; `multiProbe = true` additionally probes
     * every bucket at Hamming distance 1 from the query's (flip each of

@@ -85,6 +85,30 @@ class AnnRecallSpec extends AnyFunSuite {
     boosted.unpersist()
   }
 
+  test("annNearDupClusters recovers the planted clusters: pure, near-total coverage") {
+    import spark.implicits._
+    val rnd = new Random(13)
+    val iso = (0L until 240L).map(i => (i, Seq.fill(64)(rnd.nextGaussian().toFloat * 0.125f)))
+      .toDF("vec_id", "embedding")
+    val boosted = Similarity.clusterBoost(iso, nClusters = 8, strength = 3.0).cache()
+    val got = Similarity.annNearDupClusters(spark, boosted, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 240)
+    // purity: no cluster may mix ground-truth groups (vec_id mod 8) —
+    // cross-group cosine is far below the 0.9 threshold by construction
+    got.groupBy(_._2).values.foreach { members =>
+      assert(members.keys.map(_ % 8).toSet.size == 1,
+        s"merged ground-truth groups: ${members.keys.toSeq.sorted}")
+    }
+    // coverage: ANN recall is approximate by contract, but near-total
+    // here — at most a handful of vectors may fall out as singletons
+    val mainClusters = got.groupBy(_._2).values.count(_.size >= 10)
+    assert(mainClusters == 8, s"expected the 8 planted clusters, got $mainClusters")
+    val inMain = got.groupBy(_._2).values.filter(_.size >= 10).map(_.size).sum
+    assert(inMain >= 240 * 9 / 10, s"only $inMain/240 vectors in the main clusters")
+    boosted.unpersist()
+  }
+
   test("IVF assignment: every vector gets exactly one cell; cells are stable across runs") {
     val emb = clustered.cache()
     val cents = Similarity.ivfCentroids(emb, 8)
