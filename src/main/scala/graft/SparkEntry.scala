@@ -330,6 +330,12 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))),
     "q26_neardup_clusters" -> ((s, dir) =>
       Dedup.nearDupClusters(s, rd(s, dir, "documents"))),
+    // the exact-dedup-first production flow (one call): identical texts
+    // collapse to min-id representatives, LSH+CC runs over reps only,
+    // members inherit the rep's cluster — the designed way to stay out
+    // of the mega-bucket guard at duplicate-heavy scale
+    "q37_neardup_collapsed" -> ((s, dir) =>
+      Dedup.nearDupClustersCollapsed(s, rd(s, dir, "documents"))),
     "q27_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDup(rd(s, dir, "documents"), maxHamming = 3)),
     "q33_pivot_counts" -> ((s, dir) =>
@@ -366,20 +372,28 @@ object SparkEntry {
   private val simhashVotes: String = simhashVotesN(16)
   private val simhashBits: String = simhashBitsN(16)
 
-  private val shingleCte =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  /** Shingle + minhash CTE bodies, parameterized by the source relation
+    * (the collapsed-dedup oracle runs them over the representative-doc
+    * CTE instead of the raw table).
+    */
+  private def shingleCteOver(src: String) =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
 sh AS (SELECT doc_id,
   list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
     i -> array_to_string(t[i:i+2], ' '))) AS shingles FROM toks)"""
 
-  private val minhashCte =
-    s"""WITH $shingleCte,
+  private val shingleCte = shingleCteOver("documents")
+
+  private def minhashBodyOver(src: String) =
+    s"""${shingleCteOver(src)},
 x AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
 b AS (SELECT doc_id, shingle, unnest(generate_series(0, 7)) AS band FROM x),
 sigs AS (SELECT doc_id, band,
   min(('0x' || substr(md5(shingle || '#' || CAST(band // 2 AS VARCHAR)),
                       1 + 15 * (band % 2), 15))::BIGINT) AS sig
          FROM b GROUP BY doc_id, band)"""
+
+  private val minhashCte = s"WITH ${minhashBodyOver("documents")}"
 
   /** Reads a dumped frame back in DuckDB (the `__OUT__` placeholder is
     * substituted with the real dump dir by Verify before the JSON is
@@ -772,6 +786,25 @@ e AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
 $ccLblCte
 SELECT d.doc_id, COALESCE(CAST(l.comp AS BIGINT), d.doc_id) AS cluster_id
 FROM documents d LEFT JOIN lbl l ON lpad(CAST(d.doc_id AS VARCHAR), 19, '0') = l.node""",
+    // collapsed flow replay: reps = min doc per md5(text); the minhash
+    // CTE runs over the representative docs only; members join back
+    // through their dup_key and inherit the rep's component (rep_id
+    // when the rep has no LSH cluster)
+    "q37_neardup_collapsed" ->
+      s"""WITH reps AS (SELECT md5(text) AS dup_key, min(doc_id) AS rep_id
+  FROM documents GROUP BY 1),
+rd AS (SELECT d.doc_id, d.text FROM documents d JOIN reps r ON r.rep_id = d.doc_id),
+${minhashBodyOver("rd")},
+prs AS (SELECT a.doc_id AS da, b.doc_id AS db
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+raw AS (SELECT lpad(CAST(da AS VARCHAR), 19, '0') AS src,
+               lpad(CAST(db AS VARCHAR), 19, '0') AS dst FROM prs),
+e AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+$ccLblCte
+SELECT d.doc_id, COALESCE(CAST(l.comp AS BIGINT), r.rep_id) AS cluster_id
+FROM documents d JOIN reps r ON md5(d.text) = r.dup_key
+LEFT JOIN lbl l ON lpad(CAST(r.rep_id AS VARCHAR), 19, '0') = l.node""",
     "q27_simhash_neardup" ->
       s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
 h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM w),

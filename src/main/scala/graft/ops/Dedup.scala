@@ -400,6 +400,50 @@ object Dedup {
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
   }
 
+  /** [[nearDupClusters]] with the exact-dedup PRE-COLLAPSE the
+    * mega-bucket guidance keeps pointing at, as one call: identical
+    * texts collapse onto their min-id representative first (one
+    * md5-keyed window), the LSH → CC pipeline runs over representatives
+    * only, and every document inherits its representative's cluster.
+    *
+    * Same output contract as [[nearDupClusters]] and, for any document
+    * long enough to shingle, the same RESULT: identical docs share
+    * every band signature, so collapsing them changes neither which
+    * other docs their bucket sees nor the component minimum (each
+    * doc's id ≥ its representative's id, so the component min over
+    * representatives IS the global min). The one deliberate difference:
+    * exact duplicates SHORTER than a shingle (< k tokens) now cluster
+    * together through their representative — the plain path cannot see
+    * shingle-less docs at all. What changes otherwise is the work: the
+    * pair stage runs
+    * on distinct texts, so 10^7 copies of one page cost one
+    * representative instead of one 10^7-member mega bucket — this is
+    * the designed way to stay out of the guard's degradation path at
+    * 100 TB, where exact-duplicate mass dominates web corpora.
+    */
+  def nearDupClustersCollapsed(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      bands: Int = 8,
+      k: Int = 3,
+      minBands: Int = 1
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("dup_key"))
+    val keyed = docs
+      .select(col("doc_id"), col("text"),
+        md5(to_binary(col("text"), lit("utf-8"))).as("dup_key"))
+      .withColumn("rep_id", min(col("doc_id")).over(w))
+      .localCheckpoint() // branch point: rep selection + member map both read it
+    val repClusters = nearDupClusters(
+      spark,
+      keyed.filter(col("doc_id") === col("rep_id")).select(col("doc_id"), col("text")),
+      bands, k, minBands)
+      .withColumnRenamed("doc_id", "rep_id")
+    keyed.select(col("doc_id"), col("rep_id"))
+      .join(repClusters, Seq("rep_id"))
+      .select(col("doc_id"), col("cluster_id"))
+  }
+
   /** SimHash near-duplicates: pairs whose `bits`-bit simhash differs in
     * at most `maxHamming` bits. Candidates are blocked on
     * `maxHamming + 1` disjoint bit-bands of the fingerprint — by

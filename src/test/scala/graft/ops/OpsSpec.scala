@@ -253,6 +253,34 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.megaBucketCount("simhash") == 4L, "all 4 simhash bands counted")
   }
 
+  test("nearDupClustersCollapsed == plain clusters, plus exact short-doc dups now cluster") {
+    import spark.implicits._
+    // 3 exact-dup groups + near-dups + singletons + two identical
+    // SHORT docs (< 3 tokens: shingle-less, invisible to plain LSH)
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq(
+      (1L, base), (2L, base), (3L, base), // exact dups
+      (4L, base + " iota"), // near-dup of the group
+      (5L, "one two three four five six seven eight"),
+      (6L, "one two three four five six seven eight"),
+      (7L, "totally different words in here now right"),
+      (8L, "tiny doc"), (9L, "tiny doc") // shingle-less exact dups
+    ).toDF("doc_id", "text")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = toMap(Dedup.nearDupClusters(spark, d))
+    val collapsed = toMap(Dedup.nearDupClustersCollapsed(spark, d))
+    // identical on every doc long enough to shingle
+    (1L to 7L).foreach(i => assert(collapsed(i) == plain(i),
+      s"doc $i: collapsed ${collapsed(i)} != plain ${plain(i)}"))
+    // plain cannot see the shingle-less dups; collapsed clusters them
+    assert(plain(8L) == 8L && plain(9L) == 9L)
+    assert(collapsed(8L) == 8L && collapsed(9L) == 8L,
+      s"short exact dups must share the rep cluster: ${collapsed.view.filterKeys(_ >= 8L).toMap}")
+    // sanity on the expected structure
+    assert(collapsed(2L) == 1L && collapsed(4L) == 1L && collapsed(6L) == 5L && collapsed(7L) == 7L)
+  }
+
   test("LSH mega bucket: fp-group collapse keeps identical-doc pairs at full band support") {
     import spark.implicits._
     // group A: 10 identical docs (ids 10..19); X: id 1 (the SMALLEST id
