@@ -63,42 +63,70 @@ object MegaDrill {
             lit("the query ran fast on the big table and the rows were small").as("text")))
       }
 
-    def pairSet(maxB: Int, obs: Option[Observation]): Set[(Long, Long)] =
-      Dedup.simhashNearDup(docs, maxHamming = 3, maxBucket = maxB, megaObs = obs)
-        .select("doc_a", "doc_b").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // simhash arm (skipped when maxBucket <= 0 — the lossless pair
+    // collection is O(mass²) driver-side, so a big augmentN pairs with
+    // maxBucket=0 and runs the LSH arm alone)
+    if (maxBucket > 0) {
+      def pairSet(maxB: Int, obs: Option[Observation]): Set[(Long, Long)] =
+        Dedup.simhashNearDup(docs, maxHamming = 3, maxBucket = maxB, megaObs = obs)
+          .select("doc_a", "doc_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    val full = pairSet(Int.MaxValue, None) // lossless pigeonhole banding
-    val obs = Observation("megadrill")
-    val guarded = pairSet(maxBucket, Some(obs))
-    val megaBuckets = obs.get("megaBuckets") match {
-      case n: java.lang.Number => n.longValue
-      case _                   => -1L
+      val full = pairSet(Int.MaxValue, None) // lossless pigeonhole banding
+      val obs = Observation("megadrill")
+      val guarded = pairSet(maxBucket, Some(obs))
+      val megaBuckets = obs.get("megaBuckets") match {
+        case n: java.lang.Number => n.longValue
+        case _                   => -1L
+      }
+
+      // nodes of guarded ⊆ nodes of full (subset claim covers edges); for
+      // component equality compare over full's node set with singleton
+      // default — a node guarded never pairs must be a singleton there
+      val cf = graft.kg.UnionFind.minLabels(Nil, full)
+      val cg = graft.kg.UnionFind.minLabels(Nil, guarded)
+      val componentsEqual = cf.keys.forall { n =>
+        cf(n) == cg.getOrElse(n, n) ||
+          // label values may differ only if membership differs; compare sets
+          cf.filter(_._2 == cf(n)).keySet ==
+            (if (cg.contains(n)) cg.filter(_._2 == cg(n)).keySet else Set(n))
+      }
+      val subset = guarded.subsetOf(full)
+      val nCompsFull = cf.values.toSet.size
+      val nCompsGuarded =
+        (cg.values.toSet ++ cf.keys.filterNot(cg.contains)).size
+
+      println(
+        s"""{"maxBucket":$maxBucket,"mega_buckets":$megaBuckets,"pairs_full":${full.size},""" +
+          s""""pairs_guarded":${guarded.size},"subset":$subset,"components_equal":$componentsEqual,""" +
+          s""""n_components_full":$nCompsFull,"n_components_guarded":$nCompsGuarded}""")
+      require(megaBuckets > 0, "drill vacuous: the guard never fired — lower maxBucket")
+      require(subset, "degradation emitted a pair the lossless run does not have")
     }
 
-    // nodes of guarded ⊆ nodes of full (subset claim covers edges); for
-    // component equality compare over full's node set with singleton
-    // default — a node guarded never pairs must be a singleton there
-    val cf = graft.kg.UnionFind.minLabels(Nil, full)
-    val cg = graft.kg.UnionFind.minLabels(Nil, guarded)
-    val componentsEqual = cf.keys.forall { n =>
-      cf(n) == cg.getOrElse(n, n) ||
-        // label values may differ only if membership differs; compare sets
-        cf.filter(_._2 == cf(n)).keySet ==
-          (if (cg.contains(n)) cg.filter(_._2 == cg(n)).keySet else Set(n))
+    // LSH arm (identical-doc mass only): the q37 claim end-to-end —
+    // plain nearDupClusters needs the mega-bucket guard to survive the
+    // duplicate mass, the collapsed flow never wakes it, clusters equal
+    if (augmentN > 0) {
+      def clustersOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val t0 = System.nanoTime()
+      val plain = clustersOf(Dedup.nearDupClusters(spark, docs))
+      val plainSec = (System.nanoTime() - t0) / 1e9
+      val megaPlain = Dedup.megaBucketCount("lsh")
+      val t1 = System.nanoTime()
+      val collapsed = clustersOf(Dedup.nearDupClustersCollapsed(spark, docs))
+      val collapsedSec = (System.nanoTime() - t1) / 1e9
+      val megaCollapsed = Dedup.megaBucketCount("lsh")
+      val equal = plain == collapsed
+      println(
+        s"""{"lsh_arm":true,"augmentN":$augmentN,"clusters_equal":$equal,""" +
+          f""""mega_plain":$megaPlain,"mega_collapsed":$megaCollapsed,""" +
+          f""""plain_sec":$plainSec%.3f,"collapsed_sec":$collapsedSec%.3f}""")
+      require(equal, "collapsed flow changed cluster assignments")
+      require(megaCollapsed == 0,
+        s"collapsed flow must not fire the LSH guard (got $megaCollapsed)")
     }
-    val subset = guarded.subsetOf(full)
-    val nCompsFull = cf.values.toSet.size
-    val nCompsGuarded =
-      (cg.values.toSet ++ cf.keys.filterNot(cg.contains)).size
-
-    val json =
-      s"""{"maxBucket":$maxBucket,"mega_buckets":$megaBuckets,"pairs_full":${full.size},""" +
-        s""""pairs_guarded":${guarded.size},"subset":$subset,"components_equal":$componentsEqual,""" +
-        s""""n_components_full":$nCompsFull,"n_components_guarded":$nCompsGuarded}"""
-    println(json)
     spark.stop()
-    require(megaBuckets > 0, "drill vacuous: the guard never fired — lower maxBucket")
-    require(subset, "degradation emitted a pair the lossless run does not have")
   }
 }
