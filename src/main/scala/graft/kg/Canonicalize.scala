@@ -209,6 +209,14 @@ object Canonicalize {
     } finally ccConfExit(spark)
   }
 
+  // Scoping note: the cleaner isolation — planning the loop on a CLONED
+  // session so concurrent queries keep AQE coalescing — is not reachable
+  // through public API: SparkSession.cloneSession()/Dataset.ofRows are
+  // private[sql], newSession() resets SQL conf instead of copying it,
+  // and a DataFrame always plans against the session it was built on.
+  // Hence the per-session save/set/restore below; concurrent unrelated
+  // queries on the SAME session lose coalescing for the loop's duration
+  // (perf-only, documented above).
   private val CoalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
   private val ccConfLock = new Object
   // per-SESSION depth + saved value (conf is session state — a second

@@ -95,6 +95,68 @@ object StreamOps {
   def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  final case class EmbRow(vec_id: Long, embedding: Seq[Float])
+  final case class BucketRing(ids: Seq[Long], vecs: Seq[Seq[Float]])
+
+  /** Streaming embedding near-dup suppression — the streaming twin of
+    * the ANN dedup path (Similarity.lshBuckets + cosine threshold):
+    * each incoming vector is hyperplane-bucketed (stateless projection,
+    * same buckets as the batch op) and compared against the vectors
+    * already ADMITTED in its bucket; a cosine >= `threshold` match
+    * suppresses it, otherwise it is emitted and admitted.
+    *
+    * State posture (the 100 TB question): state is bounded WITHOUT a
+    * watermark — at most 2^nPlanes buckets, each holding the last
+    * `maxPerBucket` admitted vectors (FIFO ring): <= 2^nPlanes ×
+    * maxPerBucket vectors total, independent of stream length. The
+    * trade, stated plainly: a duplicate of a vector evicted from the
+    * ring (> maxPerBucket admissions ago in that bucket) is re-admitted
+    * — standard bounded-cache dedup semantics, exact within the
+    * retention window. Recall is ANN recall: a near-dup landing in a
+    * different bucket is not compared (use the batch pass over the sink
+    * table for the exact sweep, as with nearDupStream).
+    *
+    * Within a micro-batch, rows are processed in vec_id order, so the
+    * admitted set is deterministic for a given batch decomposition.
+    */
+  def annDedupStream(
+      spark: SparkSession,
+      emb: Dataset[EmbRow],
+      threshold: Double = 0.95,
+      nPlanes: Int = 8,
+      maxPerBucket: Int = 64
+  ): Dataset[EmbRow] = {
+    import spark.implicits._
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    graft.ops.Similarity.lshBuckets(emb.toDF(), nPlanes)
+      .as[(Long, Seq[Float], Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, it: Iterator[(Long, Seq[Float], Long)], state: GroupState[BucketRing]) => {
+          var ring = state.getOption.getOrElse(BucketRing(Nil, Nil))
+          val out = Seq.newBuilder[EmbRow]
+          it.toSeq.sortBy(_._1).foreach { case (id, vec, _) =>
+            val dup = ring.vecs.exists(v => cos(v, vec) >= threshold)
+            if (!dup) {
+              out += EmbRow(id, vec)
+              ring = BucketRing(
+                (ring.ids :+ id).takeRight(maxPerBucket),
+                (ring.vecs :+ vec).takeRight(maxPerBucket))
+            }
+          }
+          state.update(ring)
+          out.result().iterator
+        })
+  }
+
   /** Gap-based streaming sessionization with per-user state. A session
     * closes when no event arrives within `gapSec` of the last one
     * (event time, enforced via watermark + state timeout).

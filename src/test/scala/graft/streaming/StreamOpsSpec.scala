@@ -110,6 +110,57 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(ones == 2, s"id 1 should be re-emitted after watermark eviction, got $ones")
   }
 
+  test("annDedupStream: near-identical vectors suppressed across micro-batches; far vectors pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def v(base: Float, eps: Float = 0f): Seq[Float] =
+      Seq.tabulate(8)(i => base + (if (i == 0) eps else 0f))
+    val mem = MemoryStream[StreamOps.EmbRow]
+    mem.addData(
+      StreamOps.EmbRow(1L, v(1.0f)),
+      StreamOps.EmbRow(2L, v(1.0f, 0.001f)), // near-dup of 1 (same batch, higher id)
+      StreamOps.EmbRow(3L, v(-1.0f)) // opposite orthant: different bucket
+    )
+    val q = StreamOps.annDedupStream(spark, mem.toDS(), threshold = 0.999)
+      .writeStream.format("memory").queryName("ann_dedup_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // cross-batch: another near-dup of 1, and a genuinely new direction
+    mem.addData(
+      StreamOps.EmbRow(4L, v(1.0f, 0.002f)),
+      StreamOps.EmbRow(5L, Seq.tabulate(8)(i => if (i % 2 == 0) 1f else -1f)))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("ann_dedup_stream").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 3L, 5L),
+      s"expected first-of-each-direction only, got $ids")
+  }
+
+  test("annDedupStream: ring eviction re-admits a dup beyond maxPerBucket (bounded-state contract)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // orthogonal-ish vectors so nothing suppresses; maxPerBucket=2 ring
+    // evicts vec 1, then its exact copy is re-admitted — pins the
+    // bounded-cache trade the scaladoc states, like the dedupStream twin
+    def basis(i: Int): Seq[Float] = Seq.tabulate(8)(d => if (d == i) 1f else 0f)
+    val mem = MemoryStream[StreamOps.EmbRow]
+    val q = StreamOps.annDedupStream(spark, mem.toDS(), threshold = 0.999,
+      nPlanes = 1, maxPerBucket = 2) // 1 plane: at most 2 buckets, easy to flood
+    val query = q.writeStream.format("memory").queryName("ann_dedup_ring")
+      .outputMode("append").start()
+    mem.addData(StreamOps.EmbRow(1L, basis(0)))
+    query.processAllAvailable()
+    // flood the ring with enough distinct directions to evict vec 1
+    // regardless of which of the 2 buckets each lands in
+    mem.addData((2L to 6L).map(i => StreamOps.EmbRow(i, basis((i - 1).toInt))): _*)
+    query.processAllAvailable()
+    mem.addData(StreamOps.EmbRow(100L, basis(0))) // exact copy of evicted vec 1
+    query.processAllAvailable()
+    query.stop()
+    val ids = spark.table("ann_dedup_ring").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(100L), s"evicted direction must be re-admitted, got $ids")
+  }
+
   test("nearDupStream: fingerprint-identical docs within the watermark are suppressed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
