@@ -225,6 +225,34 @@ class StreamOpsSpec extends AnyFunSuite {
       s"dedup state must survive the restart (id 1 once), got ${ids.toSeq}")
   }
 
+  test("annDedupStream: bucket rings recover from checkpoint across a query restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("annckpt").toString
+    val (ckpt, outDir) = (s"$base/checkpoint", s"$base/out")
+    def v(base0: Float, eps: Float = 0f): Seq[Float] =
+      Seq.tabulate(8)(i => base0 + (if (i == 0) eps else 0f))
+    val mem = MemoryStream[StreamOps.EmbRow]
+    def start() = StreamOps.annDedupStream(spark, mem.toDS(), threshold = 0.999)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", outDir)
+      .outputMode("append").start()
+
+    mem.addData(StreamOps.EmbRow(1L, v(1.0f)))
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    // restart from the checkpoint: vec 1's ring entry must survive, so
+    // its near-copy stays suppressed while a new direction passes
+    mem.addData(StreamOps.EmbRow(2L, v(1.0f, 0.001f)), StreamOps.EmbRow(3L, v(-1.0f)))
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val ids = spark.read.parquet(outDir).select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 3L),
+      s"ring state must survive the restart (vec 2 suppressed), got ${ids.toSeq}")
+  }
+
   test("kg stream e2e: file source -> scoreStream -> resumable sink, mid-stream kill + recovery") {
     import spark.implicits._
     import graft.core.Triple
