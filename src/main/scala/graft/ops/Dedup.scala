@@ -403,7 +403,7 @@ object Dedup {
   /** [[nearDupClusters]] with the exact-dedup PRE-COLLAPSE the
     * mega-bucket guidance keeps pointing at, as one call: identical
     * texts collapse onto their min-id representative first (one
-    * md5-keyed window), the LSH → CC pipeline runs over representatives
+    * md5-keyed aggregate), the LSH → CC pipeline runs over representatives
     * only, and every document inherits its representative's cluster.
     *
     * Same output contract as [[nearDupClusters]] and, for any document
@@ -428,18 +428,31 @@ object Dedup {
       k: Int = 3,
       minBands: Int = 1
   ): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("dup_key"))
-    val keyed = docs
-      .select(col("doc_id"), col("text"),
-        md5(to_binary(col("text"), lit("utf-8"))).as("dup_key"))
-      .withColumn("rep_id", min(col("doc_id")).over(w))
-      .localCheckpoint() // branch point: rep selection + member map both read it
+    // rep selection is a digest-keyed hash aggregate (an earlier draft
+    // used a dup_key WINDOW, which shuffled every duplicate's full text
+    // and localCheckpointed the whole corpus — exactly wrong at the
+    // 10^7-copies regime this op exists for). All texts in a group are
+    // identical by construction (the key IS the text digest), so
+    // first(text) carries the representative's text through the same
+    // aggregate: the map-side partial keeps ONE text per distinct key
+    // per partition, so the shuffle is bounded by distinct-corpus size,
+    // never duplicate mass, and the checkpoint materializes only this
+    // distinct-text-sized map (the branch point both reads below share).
+    val keyed = docs.select(
+      col("doc_id"),
+      md5(to_binary(col("text"), lit("utf-8"))).as("dup_key"),
+      col("text"))
+    val repMap = keyed
+      .groupBy(col("dup_key"))
+      .agg(min(col("doc_id")).as("rep_id"), first(col("text")).as("rep_text"))
+      .localCheckpoint()
     val repClusters = nearDupClusters(
       spark,
-      keyed.filter(col("doc_id") === col("rep_id")).select(col("doc_id"), col("text")),
+      repMap.select(col("rep_id").as("doc_id"), col("rep_text").as("text")),
       bands, k, minBands)
       .withColumnRenamed("doc_id", "rep_id")
-    keyed.select(col("doc_id"), col("rep_id"))
+    keyed.select(col("doc_id"), col("dup_key"))
+      .join(repMap.select(col("dup_key"), col("rep_id")), Seq("dup_key"))
       .join(repClusters, Seq("rep_id"))
       .select(col("doc_id"), col("cluster_id"))
   }

@@ -96,7 +96,7 @@ object StreamOps {
     stream.join(broadcast(dim), Seq(key), "left")
 
   final case class EmbRow(vec_id: Long, embedding: Seq[Float])
-  final case class BucketRing(ids: Seq[Long], vecs: Seq[Seq[Float]])
+  final case class BucketRing(vecs: Seq[Seq[Float]])
 
   /** Streaming embedding near-dup suppression — the streaming twin of
     * the ANN dedup path (Similarity.lshBuckets + cosine threshold):
@@ -141,15 +141,13 @@ object StreamOps {
       .groupByKey(_._3)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: Long, it: Iterator[(Long, Seq[Float], Long)], state: GroupState[BucketRing]) => {
-          var ring = state.getOption.getOrElse(BucketRing(Nil, Nil))
+          var ring = state.getOption.getOrElse(BucketRing(Nil))
           val out = Seq.newBuilder[EmbRow]
           it.toSeq.sortBy(_._1).foreach { case (id, vec, _) =>
             val dup = ring.vecs.exists(v => cos(v, vec) >= threshold)
             if (!dup) {
               out += EmbRow(id, vec)
-              ring = BucketRing(
-                (ring.ids :+ id).takeRight(maxPerBucket),
-                (ring.vecs :+ vec).takeRight(maxPerBucket))
+              ring = BucketRing((ring.vecs :+ vec).takeRight(maxPerBucket))
             }
           }
           state.update(ring)

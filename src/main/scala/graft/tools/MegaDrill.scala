@@ -40,6 +40,18 @@ object MegaDrill {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", graft.Bench.ensureSf1())
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val augmentN = args.lift(1).map(_.toInt).getOrElse(0)
+    // `maxBucket <= 0 && augmentN <= 0` would skip BOTH arms and exit 0 —
+    // a green no-op that reads as a pass in scripts; refuse it. And the
+    // both-arms combo collects the simhash arm's LOSSLESS pair set over
+    // the injected identical-doc mass (~augmentN²/2 tuples in a driver
+    // Set — 10^4 copies is ~5×10^7 tuples, a likely OOM), so cap the
+    // mass when the simhash arm is on; run `MegaDrill 0 <bigN>` for the
+    // LSH arm alone.
+    require(maxBucket > 0 || augmentN > 0,
+      "no arm selected: maxBucket <= 0 skips simhash and augmentN <= 0 skips LSH")
+    require(maxBucket <= 0 || augmentN <= 2048,
+      s"augmentN=$augmentN with the simhash arm on collects ~augmentN^2/2 lossless " +
+        "pairs driver-side; pass maxBucket=0 to run the LSH arm alone at this mass")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -108,23 +120,55 @@ object MegaDrill {
     // plain nearDupClusters needs the mega-bucket guard to survive the
     // duplicate mass, the collapsed flow never wakes it, clusters equal
     if (augmentN > 0) {
+      import org.apache.spark.sql.functions.{col, count, lit, md5, size, split, to_binary}
       def clustersOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
         df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val t0 = System.nanoTime()
       val plain = clustersOf(Dedup.nearDupClusters(spark, docs))
       val plainSec = (System.nanoTime() - t0) / 1e9
-      val megaPlain = Dedup.megaBucketCount("lsh")
+      // Option-aware reads: None means the observe metric never arrived
+      // (misuse / listener failure), which must NOT read as "no
+      // degradation" — the whole point of the plain run is to prove the
+      // guard fires on this mass, so a missing or zero count makes the
+      // arm vacuous and fails the run.
+      val megaPlain = Dedup.megaBucketCountOption("lsh")
       val t1 = System.nanoTime()
       val collapsed = clustersOf(Dedup.nearDupClustersCollapsed(spark, docs))
       val collapsedSec = (System.nanoTime() - t1) / 1e9
-      val megaCollapsed = Dedup.megaBucketCount("lsh")
-      val equal = plain == collapsed
+      val megaCollapsed = Dedup.megaBucketCountOption("lsh")
+      // The documented deliberate divergence: exact duplicates SHORTER
+      // than a shingle (< k tokens) are invisible to the plain path
+      // (singletons) but cluster through their representative in the
+      // collapsed flow. Exclude those groups from the equality claim and
+      // pin the designed behavior on them instead.
+      val shortKeyed = docs
+        .filter(size(split(col("text"), " ", -1)) < 3)
+        .select(col("doc_id"),
+          md5(to_binary(col("text"), lit("utf-8"))).as("dup_key"))
+      val shortDupGroups = shortKeyed
+        .join(shortKeyed.groupBy("dup_key").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).select("dup_key"), Seq("dup_key"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).values.map(_.map(_._2).toSeq.sorted).toSeq
+      val shortDupIds = shortDupGroups.flatten.toSet
+      val equal = (plain -- shortDupIds) == (collapsed -- shortDupIds)
+      val shortDupOk = shortDupGroups.forall { ids =>
+        ids.forall(id => collapsed.get(id) == collapsed.get(ids.head))
+      }
       println(
         s"""{"lsh_arm":true,"augmentN":$augmentN,"clusters_equal":$equal,""" +
-          f""""mega_plain":$megaPlain,"mega_collapsed":$megaCollapsed,""" +
+          s""""mega_plain":${megaPlain.getOrElse(-1L)},""" +
+          s""""mega_collapsed":${megaCollapsed.getOrElse(-1L)},""" +
+          s""""short_dup_docs":${shortDupIds.size},"short_dup_ok":$shortDupOk,""" +
           f""""plain_sec":$plainSec%.3f,"collapsed_sec":$collapsedSec%.3f}""")
-      require(equal, "collapsed flow changed cluster assignments")
-      require(megaCollapsed == 0,
+      require(megaPlain.exists(_ > 0),
+        s"drill vacuous: plain run never fired the LSH guard (got $megaPlain) — " +
+          "raise augmentN above maxBucket=4096 or check the observe listener")
+      require(equal, "collapsed flow changed cluster assignments beyond the " +
+        "documented sub-shingle exact-dup divergence")
+      require(shortDupOk,
+        "sub-shingle exact duplicates must cluster with their representative")
+      require(megaCollapsed.contains(0L),
         s"collapsed flow must not fire the LSH guard (got $megaCollapsed)")
     }
     spark.stop()

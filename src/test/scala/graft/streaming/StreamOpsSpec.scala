@@ -139,20 +139,33 @@ class StreamOpsSpec extends AnyFunSuite {
   test("annDedupStream: ring eviction re-admits a dup beyond maxPerBucket (bounded-state contract)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    // orthogonal-ish vectors so nothing suppresses; maxPerBucket=2 ring
+    // orthogonal vectors so nothing suppresses; maxPerBucket=2 ring
     // evicts vec 1, then its exact copy is re-admitted — pins the
     // bounded-cache trade the scaladoc states, like the dedupStream twin
-    def basis(i: Int): Seq[Float] = Seq.tabulate(8)(d => if (d == i) 1f else 0f)
+    def basis(i: Int, sign: Float = 1f): Seq[Float] =
+      Seq.tabulate(8)(d => if (d == i) sign else 0f)
+    // Eviction needs >= maxPerBucket admissions in vec 1's OWN bucket,
+    // and bucket assignment is a murmur3-derived plane sign we must not
+    // guess at — so pin it by construction: bucket the candidate
+    // directions with the real batch bucketer and flood only with two
+    // that share vec 1's bucket (all mutually orthogonal or antipodal,
+    // so none suppresses another).
+    val cands = (1 to 7).flatMap(i =>
+      Seq((i.toLong * 2, basis(i)), (i.toLong * 2 + 1, basis(i, -1f))))
+    val bucketOf = graft.ops.Similarity.lshBuckets(
+        ((1L, basis(0)) +: cands).toDF("vec_id", "embedding"), nPlanes = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val flood = cands.filter { case (id, _) => bucketOf(id) == bucketOf(1L) }.take(2)
+    assert(flood.size == 2,
+      "degenerate plane: fewer than 2 orthogonal directions share vec 1's bucket")
     val mem = MemoryStream[StreamOps.EmbRow]
     val q = StreamOps.annDedupStream(spark, mem.toDS(), threshold = 0.999,
-      nPlanes = 1, maxPerBucket = 2) // 1 plane: at most 2 buckets, easy to flood
+      nPlanes = 1, maxPerBucket = 2) // 1 plane: at most 2 buckets
     val query = q.writeStream.format("memory").queryName("ann_dedup_ring")
       .outputMode("append").start()
     mem.addData(StreamOps.EmbRow(1L, basis(0)))
     query.processAllAvailable()
-    // flood the ring with enough distinct directions to evict vec 1
-    // regardless of which of the 2 buckets each lands in
-    mem.addData((2L to 6L).map(i => StreamOps.EmbRow(i, basis((i - 1).toInt))): _*)
+    mem.addData(flood.map { case (id, v) => StreamOps.EmbRow(id, v) }: _*)
     query.processAllAvailable()
     mem.addData(StreamOps.EmbRow(100L, basis(0))) // exact copy of evicted vec 1
     query.processAllAvailable()
