@@ -319,6 +319,20 @@ object SparkEntry {
     "q23_token_bpe" -> ((s, dir) => TextOps.bpeTokenCount(rd(s, dir, "documents"))),
     "q34_token_rarity" -> ((s, dir) => TextOps.tokenRarity(rd(s, dir, "documents"))),
     "q35_boilerplate" -> ((s, dir) => TextOps.boilerplateShingles(rd(s, dir, "documents"))),
+    // benchmark decontamination: every 13th doc plays the eval set; the
+    // rest is the training corpus scrubbed against it (5-gram overlap)
+    "q38_decontaminate" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      TextOps.decontaminate(
+        docs.filter(col("doc_id") % 13 =!= 0),
+        docs.filter(col("doc_id") % 13 === 0))
+    }),
+    "q39_repetition" -> ((s, dir) => TextOps.repetitionSignals(rd(s, dir, "documents"))),
+    // data-mixture sampler on the bucketed scale path (spec-gated equal
+    // to the single-window definition the oracle replays)
+    "q40_token_budget_mix" -> ((s, dir) =>
+      Sampling.tokenBudgetMixBucketed(
+        rd(s, dir, "documents"), Map("en" -> 20000L, "de" -> 8000L), defaultBudget = 3000L)),
 
     // -------- sampling + dedup clustering --------------------------------
     "q24_deterministic_sample" -> ((s, dir) =>
@@ -768,6 +782,47 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
 CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
 round(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) / count(*), 4) AS boiler_ratio
 FROM x JOIN d USING (shingle) GROUP BY 1""",
+    // k=5 shingles: inclusive DuckDB slice t[i:i+4]; the benchmark side
+    // is every 13th doc, mirroring the Spark entry exactly
+    "q38_decontaminate" ->
+      """WITH bt AS (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 13 = 0),
+bs AS (SELECT DISTINCT unnest(list_transform(generate_series(1, greatest(len(t) - 4, 0)),
+  i -> array_to_string(t[i:i+4], ' '))) AS shingle FROM bt),
+dt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 13 <> 0),
+ds AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(t) - 4, 0)),
+  i -> array_to_string(t[i:i+4], ' ')))) AS shingle FROM dt),
+h AS (SELECT doc_id, count(*) AS n FROM ds JOIN bs USING (shingle) GROUP BY 1)
+SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hit_shingles,
+CAST(CASE WHEN COALESCE(h.n, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 13 <> 0) d LEFT JOIN h USING (doc_id)""",
+    // the groupBy-the-exploded-n-grams formulation: mode count == the
+    // sorted-run length the Spark side computes row-locally
+    "q39_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 3),
+bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+  i -> toks[i] || ' ' || toks[i+1])) AS g FROM t),
+bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+bstat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+  round(max(c) / sum(c), 4) AS top_bigram_frac FROM bc GROUP BY 1),
+tg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+  i -> array_to_string(toks[i:i+2], ' '))) AS g FROM t),
+tc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+tstat AS (SELECT doc_id,
+  round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c), 4) AS dup_trigram_frac
+  FROM tc GROUP BY 1)
+SELECT doc_id, n_bigrams, top_bigram_frac, dup_trigram_frac
+FROM bstat JOIN tstat USING (doc_id)""",
+    // replays the single-window definition; the Spark side runs the
+    // bucketed decomposition, which is exactly equal by construction
+    "q40_token_budget_mix" ->
+      """WITH t AS (SELECT doc_id, lang,
+  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents),
+c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY lang
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS cum_tokens FROM t)
+SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+WHERE cum_tokens - n_tokens <
+  CASE WHEN lang = 'en' THEN 20000 WHEN lang = 'de' THEN 8000 ELSE 3000 END""",
     "q24_deterministic_sample" ->
       """SELECT doc_id, n_chars FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 20""",

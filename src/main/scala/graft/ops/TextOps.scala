@@ -203,6 +203,107 @@ object TextOps {
       )
   }
 
+  /** Benchmark decontamination: flag training documents sharing any
+    * k-token shingle with an evaluation/benchmark corpus — the standard
+    * train-test-contamination scrub every LLM data pipeline runs before
+    * training (exact n-gram overlap, the GPT-3/Llama-style check).
+    *
+    * Output: one row per doc in `docs` — (doc_id, n_hit_shingles =
+    * DISTINCT contaminated shingles, contaminated = 0/1).
+    *
+    * Scale posture: the benchmark side is an eval set — MBs against a
+    * 100 TB training corpus — so its distinct shingle set is
+    * `broadcast()` and the overlap check is a map-side semi join that
+    * pipelines inside the training-corpus scan; the only shuffle is the
+    * per-doc hit count keyed on doc_id. If the benchmark side ever
+    * outgrows broadcast, drop the hint (Catalyst falls back to a
+    * shuffle join) or pre-filter with a Bloom filter of the shingle
+    * hashes; the operator contract is unchanged.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, k: Int = 5): DataFrame = {
+    val benchShingles = Dedup.shingleRows(benchmark, k).select(col("shingle")).distinct()
+    val hits = Dedup.shingleRows(docs, k)
+      .join(broadcast(benchShingles), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_shingles"))
+    docs
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_hit_shingles"), lit(0L)).as("n_hit_shingles"),
+        when(coalesce(col("n_hit_shingles"), lit(0L)) > 0, 1).otherwise(0).as("contaminated"))
+  }
+
+  /** The k-grams of a token array as row-local strings (space-joined,
+    * every occurrence — NOT deduped like [[Dedup.shingleRows]]).
+    * Callers must ensure size(toks) >= k (Spark's `sequence(1, n)`
+    * DESCENDS when n < 1 instead of returning empty).
+    */
+  private def ngramsCol(toks: Column, k: Int): Column =
+    transform(
+      sequence(lit(1), size(toks) - (k - 1)),
+      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + lit(j))): _*))
+
+  /** One pass over a SORTED array computing run statistics:
+    * struct(best = longest run length, dup = total elements in runs of
+    * length > 1). `best` equals the mode's count and `dup` the mass of
+    * repeated values — computed row-locally so the whole repetition
+    * profile never shuffles.
+    */
+  private def runStats(sorted: Column): Column =
+    aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"), lit(0L).as("dup")),
+      (acc, x) => {
+        val same = x === acc.getField("prev")
+        val run = when(same, acc.getField("run") + 1).otherwise(lit(1L))
+        val closed = when(!same && acc.getField("run") > 1, acc.getField("run"))
+          .otherwise(lit(0L))
+        struct(
+          x.as("prev"),
+          run.as("run"),
+          greatest(acc.getField("best"), run).as("best"),
+          (acc.getField("dup") + closed).as("dup"))
+      },
+      acc => struct(
+        acc.getField("best").as("best"),
+        (acc.getField("dup") +
+          when(acc.getField("run") > 1, acc.getField("run")).otherwise(lit(0L))).as("dup")))
+
+  /** Repetition signals (the Gopher/MassiveText repetition filters,
+    * token-level): `top_bigram_frac` = the fraction of a document's
+    * bigram occurrences its single most frequent bigram accounts for
+    * (high → "word word word" TV-transcript-style loops), and
+    * `dup_trigram_frac` = the fraction of trigram occurrences whose
+    * trigram appears more than once in the document (high → copy-paste
+    * loops / template spam). Documents shorter than 3 tokens have no
+    * trigram and produce no row (same contract as
+    * [[boilerplateShingles]]).
+    *
+    * Scale posture: entirely row-local — n-grams, sort, and run
+    * statistics all happen inside the row via higher-order functions,
+    * so the operator is a pure scan-stage map with ZERO shuffles (the
+    * groupBy-the-exploded-n-grams formulation the oracle uses would
+    * shuffle every n-gram occurrence; this one ships only the two
+    * ratios). The mode count equals the longest run of the sorted
+    * n-gram array, which is what [[runStats]] computes.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val bg = runStats(array_sort(ngramsCol(toks, 2)))
+    val tg = runStats(array_sort(ngramsCol(toks, 3)))
+    val nBg = (size(toks) - 1).cast("long")
+    val nTg = (size(toks) - 2).cast("long")
+    docs
+      .filter(size(toks) >= 3)
+      .select(
+        col("doc_id"),
+        nBg.as("n_bigrams"),
+        round(bg.getField("best").cast("double") / nBg, 4).as("top_bigram_frac"),
+        round(tg.getField("dup").cast("double") / nTg, 4).as("dup_trigram_frac"))
+  }
+
   /** Boilerplate n-gram detection: shingles appearing in >= `minDocs`
     * DISTINCT documents are "boilerplate" (shared headers, templates,
     * licence blocks); per document, the fraction of its distinct

@@ -163,6 +163,81 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.toSet == Set("en") && kept.length == 100)
   }
 
+  test("decontaminate: flags docs sharing a 5-gram with the benchmark, counts distinct hits") {
+    val bench = docs((100L, "one two three four five six"))
+    // bench 5-grams: "one two three four five", "two three four five six"
+    val train = docs(
+      (1L, "zz one two three four five yy"), // shares the first
+      (2L, "one two three four five six tail"), // shares both
+      (3L, "totally different words here indeed present"))
+    val r = TextOps.decontaminate(train, bench).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getInt(2)))).toMap
+    assert(r(1L) == ((1L, 1)))
+    assert(r(2L) == ((2L, 1)))
+    assert(r(3L) == ((0L, 0)))
+  }
+
+  test("repetition signals: loops saturate, diverse text stays low, sub-trigram docs drop") {
+    val d = docs(
+      (1L, "spam spam spam spam spam"), // every bigram/trigram identical
+      (2L, "a b c d e f"), // all n-grams distinct
+      (4L, "a b a b c"), // "a b" twice of 4 bigrams; trigrams distinct
+      (3L, "x y")) // 2 tokens: no trigram, no row
+    val r = TextOps.repetitionSignals(d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((4L, 1.0, 1.0)))
+    assert(r(2L) == ((5L, 0.2, 0.0)))
+    assert(r(4L) == ((4L, 0.5, 0.0)))
+    assert(!r.contains(3L))
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("token budget mix: md5-ordered prefix per lang, straddling doc included") {
+    import spark.implicits._
+    val rows = (1L to 40L).map(i =>
+      (i, Seq.fill(((i % 5) + 1).toInt)("w").mkString(" "), if (i % 2 == 0) "en" else "de"))
+    val df = rows.toDF("doc_id", "text", "lang")
+    val out = Sampling.tokenBudgetMix(df, Map("en" -> 10L), defaultBudget = 6L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    // driver-side replay of the contract: per lang, md5(doc_id) order,
+    // cumulative token sum, keep while the budget is not yet exhausted
+    val expected = rows
+      .map { case (id, text, lang) => (id, lang, text.split(" ").length) }
+      .groupBy(_._2)
+      .flatMap { case (lang, ds) =>
+        val budget = if (lang == "en") 10L else 6L
+        var cum = 0L
+        ds.sortBy { case (id, _, _) => (md5hex(id.toString), id) }.flatMap {
+          case (id, l, n) =>
+            val before = cum; cum += n
+            if (before < budget) Some((id, l, n, cum)) else None
+        }
+      }
+      .toSet
+    assert(out.toSet == expected)
+    assert(out.nonEmpty && out.length < rows.length, "must select a strict nonempty subset")
+  }
+
+  test("tokenBudgetMixBucketed equals the single-window definition incl. cum_tokens") {
+    import spark.implicits._
+    val rows = (0L until 500L).map { i =>
+      val lang = Seq("en", "de", "fr", "zh")((i % 4).toInt)
+      val n = (math.abs(md5hex(s"len$i").hashCode) % 9) + 1
+      (i, Seq.fill(n)("t").mkString(" "), lang)
+    }
+    val df = rows.toDF("doc_id", "text", "lang")
+    val budgets = Map("en" -> 200L, "de" -> 90L)
+    def rowsOf(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3))).toSet
+    val plain = rowsOf(Sampling.tokenBudgetMix(df, budgets, defaultBudget = 40L))
+    val bucketed = rowsOf(Sampling.tokenBudgetMixBucketed(df, budgets, defaultBudget = 40L))
+    assert(bucketed == plain)
+    assert(plain.nonEmpty && plain.size < rows.size)
+  }
+
   test("nearDupClusters: exact dups cluster to min doc_id, singletons self-cluster") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
