@@ -85,6 +85,34 @@ class PlanSpec extends AnyFunSuite {
     assert(explodes <= 1, s"expected at most 1 explode (query probes), got $explodes:\n" + plan)
   }
 
+  test("q39: row-local repetition signals plan with ZERO Exchange") {
+    // the whole point of the sorted-run formulation: n-grams, sort, and
+    // run stats happen inside the row, so the operator is a pure
+    // scan-stage map — any Exchange means someone re-introduced the
+    // explode+groupBy form
+    val plan = planOf(SparkEntry.queries("q39_repetition")(spark, sf))
+    assert(!plan.contains("Exchange"), "repetition signals must not shuffle:\n" + plan)
+  }
+
+  test("q38: benchmark shingle set is broadcast into the overlap join") {
+    // the eval side is tiny by contract; a regression to a shuffled
+    // sort-merge join would shuffle the full training-corpus shingle
+    // stream at 100 TB
+    val plan = planOf(SparkEntry.queries("q38_decontaminate")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "decontamination overlap join lost its broadcast:\n" + plan)
+  }
+
+  test("q40: bucket-prefix totals are broadcast back; no single-partition global sort") {
+    val plan = planOf(SparkEntry.queries("q40_token_budget_mix")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "bucket-prefix join lost its broadcast:\n" + plan)
+    // the within-bucket windows must sort on (lang, bkt), never a
+    // lang-only window over the full corpus (that is tokenBudgetMix,
+    // the definition form, not the catalog's scale path)
+    assert(plan.contains("bkt"), "bucketed decomposition missing from plan:\n" + plan)
+  }
+
   test("kg_ann_clustered: bucket-KEYED join (never a nested-loop cross product)") {
     // the clustered ANN is the scale-path shape: probe fan-out on the
     // query side only, equi-join on the bucket key — a regression to
