@@ -155,6 +155,56 @@ object StreamOps {
         })
   }
 
+  final case class DecontOut(doc_id: Long, n_hit_shingles: Long, contaminated: Int)
+
+  /** Collect a benchmark corpus's distinct k-token shingles for
+    * streaming decontamination. The collect is bounded BY CONTRACT:
+    * the benchmark side is an eval set (MBs), the same smallness
+    * assumption the batch op's `broadcast()` makes — never call this
+    * on a training-scale corpus.
+    */
+  def benchmarkShingles(
+      spark: SparkSession,
+      benchmark: DataFrame,
+      k: Int = 5
+  ): org.apache.spark.broadcast.Broadcast[Set[String]] =
+    spark.sparkContext.broadcast(
+      graft.ops.Dedup.shingleRows(benchmark, k)
+        .select("shingle").distinct()
+        .collect().map(_.getString(0)).toSet)
+
+  /** Streaming twin of [[graft.ops.TextOps.decontaminate]]: flag
+    * documents sharing any k-gram with a benchmark corpus as they
+    * arrive. Entirely STATELESS — the benchmark shingle set is a
+    * broadcast snapshot and the check is row-local (each doc's
+    * shingles are probed against the broadcast hash set inside the
+    * map), so the operator needs no watermark, no state store, and no
+    * shuffle: it composes with any sink in append mode and scales with
+    * the stream alone. Output matches the batch op exactly
+    * (n_hit_shingles = distinct contaminated shingles; spec-gated).
+    */
+  def decontaminateStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      benchShingles: org.apache.spark.broadcast.Broadcast[Set[String]],
+      k: Int = 5
+  ): Dataset[DecontOut] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.split(" ", -1)
+        var hits = Set.empty[String]
+        if (toks.length >= k) {
+          val bench = benchShingles.value
+          toks.sliding(k).foreach { w =>
+            val s = w.mkString(" ")
+            if (bench.contains(s)) hits += s
+          }
+        }
+        DecontOut(id, hits.size.toLong, if (hits.nonEmpty) 1 else 0)
+      }
+  }
+
   /** Gap-based streaming sessionization with per-user state. A session
     * closes when no event arrives within `gapSec` of the last one
     * (event time, enforced via watermark + state timeout).

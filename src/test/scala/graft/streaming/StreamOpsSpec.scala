@@ -192,6 +192,43 @@ class StreamOpsSpec extends AnyFunSuite {
       s"one of the identical twins must be dropped, got ${ids.toSeq}")
   }
 
+  test("decontaminateStream: streaming flags equal the batch decontaminate on the same docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq(
+      (100L, "what is the capital of france"),
+      (101L, "solve for x in the equation")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "my essay asks what is the capital of france twice: what is the capital of france"),
+      (2L, "an entirely clean training document about cooking pasta"),
+      (3L, "short doc"), // fewer than k tokens: must not crash, must emit 0
+      (4L, "students solve for x in the equation and also ask what is the capital of france"))
+      .toDF("doc_id", "text")
+
+    val batch = graft.ops.TextOps.decontaminate(docs, bench, k = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+
+    val shingles = StreamOps.benchmarkShingles(spark, bench, k = 5)
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, docs.where($"doc_id" === 1).head().getString(1)), (2L, "an entirely clean training document about cooking pasta"))
+    val q = StreamOps.decontaminateStream(spark, mem.toDF().toDF("doc_id", "text"), shingles, k = 5)
+      .writeStream.format("memory").queryName("decont_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    mem.addData((3L, "short doc"),
+      (4L, "students solve for x in the equation and also ask what is the capital of france"))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("decont_stream").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    // The fixture must exercise both outcomes and a multi-shingle hit.
+    assert(batch(1L)._2 == 1 && batch(2L) == ((0L, 0)) && batch(3L) == ((0L, 0)))
+    assert(batch(4L)._1 >= 2L, s"doc 4 overlaps both benchmark items: ${batch(4L)}")
+    shingles.destroy()
+  }
+
   test("enrichStream: stream rows pick up broadcast dimension attributes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
