@@ -85,7 +85,8 @@ object Bench {
     "q20_multimodal_stub", "q21_minhash_fast", "q22_lsh_pairs_fast",
     "q23_token_bpe", "q26_neardup_clusters", "q27_simhash_neardup",
     "q34_token_rarity", "q35_boilerplate", "q36_frame_sample", "kg_ann_ivf",
-    "q38_decontaminate", "q39_repetition", "q40_token_budget_mix"
+    "q38_decontaminate", "q39_repetition", "q40_token_budget_mix",
+    "q41_pii_scrub"
   )
 
   /** sf1 soak dir; regenerated deterministically by tools/gen_sf1.py

@@ -3,7 +3,7 @@ package graft
 import graft.fixtures.DocGen
 import graft.ops._
 import graft.pipeline.Pipeline
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -22,6 +22,33 @@ object SparkEntry {
 
   private def rd(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Append deterministic doc_id-derived PII (emails / phone / IPv4) to
+    * a PII-free synthetic corpus so q41's redaction regexes have real
+    * work to do: ~1/3 of docs get an email (1/9 a second one), 1/4 a
+    * phone, 1/5 an IP, and the remainder stay clean so the zero-hit
+    * path is exercised too. Mirrored term-for-term by the q41 oracle.
+    */
+  private def withSyntheticPii(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val str = (c: Column) => c.cast("string")
+    docs.select(
+      id,
+      concat(
+        col("text"),
+        when(id % 3 === 0,
+          concat(lit(" contact user"), str(id), lit("@mail"), str(id % 7), lit(".com")))
+          .otherwise(lit("")),
+        when(id % 9 === 0, concat(lit(" cc admin"), str(id), lit("@ex.org")))
+          .otherwise(lit("")),
+        when(id % 4 === 1,
+          concat(lit(" call 555-"), lpad(str(id % 10000), 4, "0")))
+          .otherwise(lit("")),
+        when(id % 5 === 2,
+          concat(lit(" from 10."), str(id % 256), lit(".0."), str((id * 7) % 256)))
+          .otherwise(lit(""))
+      ).as("text"))
+  }
 
   /** One-row recall measurement of an ANN result against the exact
     * top-k: (possible, hits, recall). Shared by kg_ann_recall and
@@ -333,6 +360,12 @@ object SparkEntry {
     "q40_token_budget_mix" -> ((s, dir) =>
       Sampling.tokenBudgetMixBucketed(
         rd(s, dir, "documents"), Map("en" -> 20000L, "de" -> 8000L), defaultBudget = 3000L)),
+    // PII scrub over the corpus with deterministic doc_id-derived PII
+    // appended first (the synthetic corpus contains none), so the
+    // redaction regexes are actually exercised; the oracle replays the
+    // same injection + scrub in DuckDB
+    "q41_pii_scrub" -> ((s, dir) =>
+      TextOps.piiScrub(withSyntheticPii(rd(s, dir, "documents")))),
 
     // -------- sampling + dedup clustering --------------------------------
     "q24_deterministic_sample" -> ((s, dir) =>
@@ -823,6 +856,31 @@ c AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY lang
 SELECT doc_id, lang, n_tokens, cum_tokens FROM c
 WHERE cum_tokens - n_tokens <
   CASE WHEN lang = 'en' THEN 20000 WHEN lang = 'de' THEN 8000 ELSE 3000 END""",
+    // same doc_id-derived PII injection as withSyntheticPii, then the
+    // same three regexes in the same replacement order ('g' = replace
+    // all, matching Spark's regexp_replace); patterns stay in the
+    // Java-regex/RE2 common dialect
+    "q41_pii_scrub" ->
+      """WITH inj AS (SELECT doc_id, text ||
+  CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+    || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END ||
+  CASE WHEN doc_id % 9 = 0 THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@ex.org' ELSE '' END ||
+  CASE WHEN doc_id % 4 = 1 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+  CASE WHEN doc_id % 5 = 2 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+    || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END AS text
+  FROM documents),
+r AS (SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b\d{3}-\d{4}\b', '<PHONE>', 'g'),
+    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted
+  FROM inj)
+SELECT doc_id, n_email, n_phone, n_ip, redacted,
+  n_email + n_phone + n_ip AS pii_total,
+  CAST(length(redacted) AS BIGINT) AS clean_len FROM r""",
     "q24_deterministic_sample" ->
       """SELECT doc_id, n_chars FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 20""",

@@ -329,4 +329,47 @@ object TextOps {
           4).as("boiler_ratio")
       )
   }
+
+  /** PII patterns shared with the DuckDB oracle — restricted to the
+    * dialect subset where Java regex (Spark) and RE2 (DuckDB) agree:
+    * character classes, bounded repetition, non-capturing groups and
+    * `\b` only; no lookaround, no backreferences.
+    */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe: String = "\\b\\d{3}-\\d{4}\\b"
+  val IpRe: String = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** PII redaction, the C4/Dolma-style scrub every pretraining corpus
+    * runs before anything else: emails, NANP-style phone numbers and
+    * IPv4 addresses are replaced with typed placeholder tokens
+    * (`<EMAIL>`/`<PHONE>`/`<IP>`) and counted per type, so downstream
+    * filters can drop PII-dense documents while the redacted text stays
+    * trainable.
+    *
+    * Replacement order is fixed (email, then phone, then IP) and
+    * mirrored in the oracle; the three patterns cannot match inside one
+    * another's replacements, so per-type counts taken on the original
+    * text equal the number of substitutions performed.
+    *
+    * Scale posture: a pure row-local select of codegen'd
+    * `regexp_count`/`regexp_replace` expressions — ZERO shuffles, the
+    * whole scrub pipelines inside the scan stage at any corpus size.
+    */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val redacted =
+      regexp_replace(
+        regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"),
+        IpRe,
+        "<IP>")
+    docs
+      .select(
+        col("doc_id"),
+        regexp_count(t, lit(EmailRe)).cast("long").as("n_email"),
+        regexp_count(t, lit(PhoneRe)).cast("long").as("n_phone"),
+        regexp_count(t, lit(IpRe)).cast("long").as("n_ip"),
+        redacted.as("redacted"))
+      .withColumn("pii_total", col("n_email") + col("n_phone") + col("n_ip"))
+      .withColumn("clean_len", length(col("redacted")).cast("long"))
+  }
 }

