@@ -229,6 +229,25 @@ class StreamOpsSpec extends AnyFunSuite {
     shingles.destroy()
   }
 
+  test("piiScrub: the batch operator runs unchanged on a stream (stateless row-local select)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(
+      (1L, "ping a@b.io at 555-1234"),
+      (2L, "clean row"))
+    val q = graft.ops.TextOps.piiScrub(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("pii_stream").collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("pii_total"), r.getAs[String]("redacted"))).toMap
+    assert(rows == Map(
+      1L -> ((2L, "ping <EMAIL> at <PHONE>")),
+      2L -> ((0L, "clean row"))))
+  }
+
   test("enrichStream: stream rows pick up broadcast dimension attributes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
