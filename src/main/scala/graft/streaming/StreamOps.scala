@@ -205,6 +205,55 @@ object StreamOps {
       }
   }
 
+  final case class MixOut(doc_id: Long, lang: String, n_tokens: Int, cum_tokens: Long)
+  final case class MixState(cum: Long) // encoder-visible (codegen needs public access)
+
+  /** Streaming twin of [[graft.ops.Sampling.tokenBudgetMix]]: admit
+    * documents per language domain until that domain's token budget is
+    * spent, then reject the rest of the stream. State is ONE running
+    * counter per domain (a `Long` keyed by `lang` — bounded by the
+    * domain count, never by corpus size), so the operator runs forever
+    * on an unbounded ingest.
+    *
+    * Ordering contract: the batch op defines admission by a global
+    * md5(doc_id) order; a stream cannot sort what has not arrived, so
+    * admission here is micro-batch-arrival order with the SAME
+    * md5(doc_id) tiebreak WITHIN each micro-batch (deterministic given
+    * a deterministic batching; feed one batch and the output — cum
+    * included — equals the batch op exactly, which is how the spec
+    * gates it). `cum_tokens` counts every seen doc, admitted or not,
+    * mirroring the batch window over the full domain.
+    */
+  def tokenBudgetMixStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      budgets: Map[String, Long],
+      defaultBudget: Long
+  ): Dataset[MixOut] = {
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (lang: String, it: Iterator[(Long, String, String)], state: GroupState[MixState]) => {
+          val budget = budgets.getOrElse(lang, defaultBudget)
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val md = java.security.MessageDigest.getInstance("MD5") // digest() resets it
+          val ordered = it.toArray.sortBy { case (id, _, _) =>
+            (md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString, id)
+          }
+          val out = ordered.flatMap { case (id, _, text) =>
+            val n = text.split(" ", -1).length
+            val admitted = cum < budget
+            cum += n
+            if (admitted) Some(MixOut(id, lang, n, cum)) else None
+          }
+          state.update(MixState(cum))
+          out.iterator
+        })
+  }
+
   /** Gap-based streaming sessionization with per-user state. A session
     * closes when no event arrives within `gapSec` of the last one
     * (event time, enforced via watermark + state timeout).

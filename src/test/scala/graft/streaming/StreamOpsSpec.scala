@@ -248,6 +248,47 @@ class StreamOpsSpec extends AnyFunSuite {
       2L -> ((0L, "clean row"))))
   }
 
+  test("tokenBudgetMixStream: one micro-batch equals the batch mix; budget holds across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1L to 40L).map(i =>
+      (i, if (i % 3 == 0) "de" else "en", Seq.fill((i % 7).toInt + 3)("w").mkString(" ")))
+    val docs = rows.toDF("doc_id", "lang", "text")
+    val budgets = Map("en" -> 60L, "de" -> 25L)
+
+    val batch = graft.ops.Sampling.tokenBudgetMix(docs, budgets, defaultBudget = 10L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3))).toSet
+
+    // single micro-batch: md5-tiebreak order == the batch window order,
+    // so the stream must reproduce the batch output exactly, cum included
+    val mem1 = MemoryStream[(Long, String, String)]
+    mem1.addData(rows)
+    val q1 = StreamOps.tokenBudgetMixStream(spark, mem1.toDF().toDF("doc_id", "lang", "text"),
+      budgets, defaultBudget = 10L)
+      .writeStream.format("memory").queryName("mix_stream1").outputMode("append").start()
+    q1.processAllAvailable(); q1.stop()
+    val streamed = spark.table("mix_stream1").as[StreamOps.MixOut].collect()
+      .map(m => (m.doc_id, m.lang, m.n_tokens, m.cum_tokens)).toSet
+    assert(streamed == batch, s"one-batch stream != batch: ${streamed.diff(batch)} / ${batch.diff(streamed)}")
+    assert(batch.size < rows.size, "budgets must actually reject some docs")
+
+    // two micro-batches: every admitted doc started under budget, and the
+    // per-domain counter persists across the batch boundary
+    val mem2 = MemoryStream[(Long, String, String)]
+    mem2.addData(rows.take(10))
+    val q2 = StreamOps.tokenBudgetMixStream(spark, mem2.toDF().toDF("doc_id", "lang", "text"),
+      budgets, defaultBudget = 10L)
+      .writeStream.format("memory").queryName("mix_stream2").outputMode("append").start()
+    q2.processAllAvailable()
+    mem2.addData(rows.drop(10))
+    q2.processAllAvailable(); q2.stop()
+    val two = spark.table("mix_stream2").as[StreamOps.MixOut].collect()
+    assert(two.forall(m => m.cum_tokens - m.n_tokens < budgets(m.lang)),
+      "an admitted doc started at/after its domain budget")
+    val enAdmitted = two.filter(_.lang == "en").map(_.n_tokens.toLong).sum
+    assert(enAdmitted >= 60L, "en budget not filled despite sufficient supply")
+  }
+
   test("enrichStream: stream rows pick up broadcast dimension attributes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
