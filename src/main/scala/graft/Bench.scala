@@ -86,7 +86,7 @@ object Bench {
     "q23_token_bpe", "q26_neardup_clusters", "q27_simhash_neardup",
     "q34_token_rarity", "q35_boilerplate", "q36_frame_sample", "kg_ann_ivf",
     "q38_decontaminate", "q39_repetition", "q40_token_budget_mix",
-    "q41_pii_scrub"
+    "q41_pii_scrub", "q42_filter_policy"
   )
 
   /** sf1 soak dir; regenerated deterministically by tools/gen_sf1.py

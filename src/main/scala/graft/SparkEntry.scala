@@ -366,6 +366,14 @@ object SparkEntry {
     // same injection + scrub in DuckDB
     "q41_pii_scrub" -> ((s, dir) =>
       TextOps.piiScrub(withSyntheticPii(rd(s, dir, "documents")))),
+    // composed keep/drop policy with first-failing-reason attribution;
+    // same corpus/benchmark split as q38
+    "q42_filter_policy" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      TextOps.filterPolicy(
+        docs.filter(col("doc_id") % 13 =!= 0),
+        docs.filter(col("doc_id") % 13 === 0))
+    }),
 
     // -------- sampling + dedup clustering --------------------------------
     "q24_deterministic_sample" -> ((s, dir) =>
@@ -881,6 +889,34 @@ r AS (SELECT doc_id,
 SELECT doc_id, n_email, n_phone, n_ip, redacted,
   n_email + n_phone + n_ip AS pii_total,
   CAST(length(redacted) AS BIGINT) AS clean_len FROM r""",
+    // precedence CASE mirrors the Spark `when` chain; the repetition
+    // rule is the same integer comparison (mode-bigram count == longest
+    // sorted run, the q39 equivalence); contamination = the q38 shingle
+    // overlap as an id set
+    "q42_filter_policy" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id % 13 <> 0),
+base AS (SELECT doc_id, lang, CAST(len(toks) AS INT) AS n_tokens FROM d),
+bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+  i -> toks[i] || ' ' || toks[i+1])) AS g FROM d WHERE len(toks) >= 2),
+bc AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS mx
+  FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1),
+bt AS (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 13 = 0),
+bs AS (SELECT DISTINCT unnest(list_transform(generate_series(1, greatest(len(t) - 4, 0)),
+  i -> array_to_string(t[i:i+4], ' '))) AS shingle FROM bt),
+ds AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(toks) - 4, 0)),
+  i -> array_to_string(toks[i:i+4], ' ')))) AS shingle FROM d),
+cont AS (SELECT DISTINCT doc_id FROM ds JOIN bs USING (shingle)),
+r AS (SELECT b.doc_id, b.lang, b.n_tokens,
+  CASE WHEN b.lang NOT IN ('en', 'de') THEN 'lang'
+       WHEN b.n_tokens < 20 THEN 'too_short'
+       WHEN b.n_tokens > 90 THEN 'too_long'
+       WHEN COALESCE(bc.mx, 0) * 12 > (b.n_tokens - 1) * 1 THEN 'repetitive'
+       WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+       ELSE 'kept' END AS reason
+  FROM base b LEFT JOIN bc USING (doc_id) LEFT JOIN cont ON b.doc_id = cont.doc_id)
+SELECT doc_id, lang, n_tokens, reason,
+  CAST(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END AS INT) AS keep FROM r""",
     "q24_deterministic_sample" ->
       """SELECT doc_id, n_chars FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 20""",

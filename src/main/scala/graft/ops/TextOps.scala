@@ -330,6 +330,59 @@ object TextOps {
       )
   }
 
+  /** Composed keep/drop gating — the "mixer" stage every web-corpus
+    * pipeline (C4, Gopher, Dolma) runs after the individual signals:
+    * each document gets a `keep` flag and the FIRST failing rule as its
+    * `reason`, in fixed precedence order `lang` → `too_short` →
+    * `too_long` → `repetitive` → `contaminated` → `kept`, so drop
+    * attribution is deterministic and auditable.
+    *
+    * The repetition rule is INTEGER arithmetic on purpose (repetitive
+    * iff `modeBigramCount * repDen > n_bigrams * repNum`, i.e.
+    * top-bigram share > repNum/repDen) — a float threshold would make
+    * the keep decision depend on engine rounding at the boundary.
+    *
+    * Scale posture: lang/length/repetition are row-local codegen'd
+    * expressions inside the scan; contamination reuses
+    * [[decontaminate]]'s broadcast shingle semi join, so the only
+    * shuffle is the distinct-contaminated-ids aggregation keyed on
+    * doc_id. The policy frame is one left join on that (small) id set.
+    */
+  def filterPolicy(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      allowedLangs: Seq[String] = Seq("en", "de"),
+      minTokens: Int = 20,
+      maxTokens: Int = 90,
+      repNum: Int = 1,
+      repDen: Int = 12,
+      k: Int = 5
+  ): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val mx = when(nTok >= 2, runStats(array_sort(ngramsCol(toks, 2))).getField("best"))
+      .otherwise(lit(0L))
+    val benchShingles = Dedup.shingleRows(benchmark, k).select(col("shingle")).distinct()
+    val contaminated = Dedup.shingleRows(docs, k)
+      .join(broadcast(benchShingles), Seq("shingle"))
+      .select(col("doc_id")).distinct()
+      .withColumn("cont", lit(1))
+    val reason =
+      when(!col("lang").isin(allowedLangs: _*), "lang")
+        .when(col("n_tokens") < minTokens, "too_short")
+        .when(col("n_tokens") > maxTokens, "too_long")
+        .when(col("mx") * repDen > (col("n_tokens") - 1).cast("long") * repNum, "repetitive")
+        .when(coalesce(col("cont"), lit(0)) === 1, "contaminated")
+        .otherwise("kept")
+    docs
+      .select(col("doc_id"), col("lang"), nTok.as("n_tokens"), mx.as("mx"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("lang"), col("n_tokens"),
+        reason.as("reason"),
+        when(reason === "kept", 1).otherwise(0).as("keep"))
+  }
+
   /** PII patterns shared with the DuckDB oracle — restricted to the
     * dialect subset where Java regex (Spark) and RE2 (DuckDB) agree:
     * character classes, bounded repetition, non-capturing groups and

@@ -592,6 +592,30 @@ class OpsSpec extends AnyFunSuite {
     assert(out(5L) == 5L)
   }
 
+  test("filterPolicy: every rule fires, first-failing reason wins, kept docs pass all") {
+    import spark.implicits._
+    val mk = (n: Int, w: String) => Seq.fill(n)(w).mkString(" ")
+    val distinct20 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val distinct95 = (1 to 95).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "zh", distinct20), // lang only (length fine)
+      (2L, "zh", "short"), // lang AND too_short: lang must win (precedence)
+      (3L, "en", "only five words right here"), // too_short
+      (4L, "en", distinct95), // too_long
+      (5L, "en", mk(30, "dup")), // repetitive (mode bigram 29/29)
+      (6L, "en", distinct20 + " the quick brown fox jumps over"), // contaminated (5-gram overlap)
+      (7L, "de", distinct20.replace("w", "v")) // kept
+    ).toDF("doc_id", "lang", "text")
+    val bench = Seq((100L, "xx " + "the quick brown fox jumps over yonder hill")).toDF("doc_id", "text")
+
+    val out = TextOps.filterPolicy(docs, bench).collect()
+      .map(r => r.getLong(0) -> (r.getString(3), r.getInt(4))).toMap
+    assert(out == Map(
+      1L -> ("lang", 0), 2L -> ("lang", 0), 3L -> ("too_short", 0),
+      4L -> ("too_long", 0), 5L -> ("repetitive", 0),
+      6L -> ("contaminated", 0), 7L -> ("kept", 1)), out.toString)
+  }
+
   test("piiScrub: typed redaction, per-type counts, boundary-guarded patterns") {
     val d = docs(
       (1L, "mail bob.smith+x@ex-corp.co.uk or root@10.0.0.1 call 555-1234 now"),

@@ -108,6 +108,21 @@ class PlanSpec extends AnyFunSuite {
       "decontamination overlap join lost its broadcast:\n" + plan)
   }
 
+  test("q42: policy signals stay row-local; contamination join is broadcast") {
+    // the reason chain must not re-introduce a per-signal shuffle: the
+    // only exchanges allowed are the contaminated-id distinct and its
+    // join back, and the benchmark side must arrive by broadcast
+    val plan = planOf(SparkEntry.queries("q42_filter_policy")(spark, sf))
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(bhj == 2,
+      s"q42 wants 2 broadcast joins (bench shingles in, contaminated ids back), got $bhj:\n$plan")
+    // the big docs scan must never shuffle: the only shuffle exchanges
+    // are the two distincts over small-by-contract sets (benchmark
+    // shingles, contaminated ids)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 2, s"q42 expected exactly 2 shuffle Exchanges, got $shuffles:\n$plan")
+  }
+
   test("q40: bucket-prefix totals are broadcast back; no single-partition global sort") {
     val plan = planOf(SparkEntry.queries("q40_token_budget_mix")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"),
