@@ -205,6 +205,57 @@ object StreamOps {
       }
   }
 
+  final case class PolicyOut(doc_id: Long, lang: String, n_tokens: Int, reason: String, keep: Int)
+
+  /** Streaming twin of [[graft.ops.TextOps.filterPolicy]] — same rules,
+    * same precedence, same integer-arithmetic repetition threshold, but
+    * the contamination check is a row-local probe of the broadcast
+    * benchmark shingle set (see [[benchmarkShingles]]) instead of the
+    * batch join, so the whole policy is STATELESS: no watermark, no
+    * state store, no shuffle; output equals the batch op exactly
+    * (spec-gated).
+    */
+  def filterPolicyStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      benchShingles: org.apache.spark.broadcast.Broadcast[Set[String]],
+      allowedLangs: Set[String] = Set("en", "de"),
+      minTokens: Int = 20,
+      maxTokens: Int = 90,
+      repNum: Int = 1,
+      repDen: Int = 12,
+      k: Int = 5
+  ): Dataset[PolicyOut] = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, lang, text) =>
+        val toks = text.split(" ", -1)
+        val n = toks.length
+        val mx =
+          if (n < 2) 0L
+          else {
+            val counts = scala.collection.mutable.HashMap.empty[String, Long]
+            toks.sliding(2).foreach { w =>
+              val g = w.mkString(" "); counts.update(g, counts.getOrElse(g, 0L) + 1L)
+            }
+            counts.valuesIterator.max
+          }
+        lazy val contaminated = n >= k && {
+          val bench = benchShingles.value
+          toks.sliding(k).exists(w => bench.contains(w.mkString(" ")))
+        }
+        val reason =
+          if (!allowedLangs.contains(lang)) "lang"
+          else if (n < minTokens) "too_short"
+          else if (n > maxTokens) "too_long"
+          else if (mx * repDen > (n - 1).toLong * repNum) "repetitive"
+          else if (contaminated) "contaminated"
+          else "kept"
+        PolicyOut(id, lang, n, reason, if (reason == "kept") 1 else 0)
+      }
+  }
+
   final case class MixOut(doc_id: Long, lang: String, n_tokens: Int, cum_tokens: Long)
   final case class MixState(cum: Long) // encoder-visible (codegen needs public access)
 

@@ -248,6 +248,40 @@ class StreamOpsSpec extends AnyFunSuite {
       2L -> ((0L, "clean row"))))
   }
 
+  test("filterPolicyStream: streaming policy equals the batch policy on the same docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val distinct20 = (1 to 20).map(i => s"w$i").mkString(" ")
+    val rows = Seq(
+      (1L, "zh", distinct20), // lang
+      (2L, "en", "only five words right here"), // too_short
+      (3L, "en", (1 to 95).map(i => s"w$i").mkString(" ")), // too_long
+      (4L, "en", Seq.fill(30)("dup").mkString(" ")), // repetitive
+      (5L, "en", distinct20 + " the quick brown fox jumps over"), // contaminated
+      (6L, "de", distinct20.replace("w", "v"))) // kept
+    val docs = rows.toDF("doc_id", "lang", "text")
+    val bench = Seq((100L, "xx the quick brown fox jumps over yonder hill")).toDF("doc_id", "text")
+
+    val batch = graft.ops.TextOps.filterPolicy(docs, bench).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getString(3), r.getInt(4))).toMap
+
+    val shingles = StreamOps.benchmarkShingles(spark, bench, k = 5)
+    val mem = MemoryStream[(Long, String, String)]
+    mem.addData(rows.take(3))
+    val q = StreamOps.filterPolicyStream(spark, mem.toDF().toDF("doc_id", "lang", "text"), shingles)
+      .writeStream.format("memory").queryName("policy_stream").outputMode("append").start()
+    q.processAllAvailable()
+    mem.addData(rows.drop(3))
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("policy_stream").as[StreamOps.PolicyOut].collect()
+      .map(p => p.doc_id -> (p.lang, p.n_tokens, p.reason, p.keep)).toMap
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(batch.values.map(_._3).toSet ==
+      Set("lang", "too_short", "too_long", "repetitive", "contaminated", "kept"))
+    shingles.destroy()
+  }
+
   test("tokenBudgetMixStream: one micro-batch equals the batch mix; budget holds across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
