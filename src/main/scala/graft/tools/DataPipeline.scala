@@ -1,0 +1,98 @@
+package graft.tools
+
+import graft.ops.{Dedup, Sampling, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data pipeline demo: the catalog's LLM-data ops
+  * composed the way a pretraining corpus build actually runs them —
+  *
+  *   filter policy (q42) → PII scrub (q41) → near-dup collapse (q37/
+  *   q26) → token-budget domain mix (q40) → partitioned corpus write
+  *
+  * and one JSON line of per-stage counts, including the policy's
+  * drop-reason histogram. The point is composability: every stage
+  * consumes the previous stage's frame, the text that reaches the
+  * mixer is the REDACTED text, and dedup keeps each cluster's minimum
+  * doc_id as its representative — the same contracts the individual
+  * catalog oracles verify, chained.
+  *
+  * Stage boundaries are `localCheckpoint`ed: the policy/CC stages run
+  * their own actions internally, and without the cut each later count
+  * would recompute the whole upstream pipeline (the q26 lesson from
+  * BENCH/BASELINE.md).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.tools.DataPipeline [outDir]
+  */
+object DataPipeline {
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("/tmp/graft-corpus")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val t0 = System.nanoTime()
+
+    val documents = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bench = documents.filter(col("doc_id") % 13 === 0)
+    val corpus = documents.filter(col("doc_id") % 13 =!= 0)
+
+    // 1. keep/drop policy with reason attribution
+    val policy = TextOps.filterPolicy(corpus, bench).localCheckpoint()
+    val reasons = policy.groupBy(col("reason")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = corpus.join(policy.filter(col("keep") === 1).select("doc_id"), Seq("doc_id"))
+
+    // 2. PII scrub — downstream stages see only redacted text
+    val scrubbed = TextOps.piiScrub(kept)
+      .join(kept.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("redacted").as("text"),
+        col("pii_total"))
+      .localCheckpoint()
+    val piiDocs = scrubbed.filter(col("pii_total") > 0).count()
+
+    // 3. near-dup collapse (exact-dup-first flow); rep = min doc_id.
+    // minBands = 6 of 8: the fixed-vocab synthetic corpus percolates
+    // into 1-2 giant components at the catalog's permissive minBands=1
+    // (every doc shares SOME shingle band with some doc), so the demo
+    // uses the strict near-identical bar a real corpus build would
+    val clusters = Dedup.nearDupClustersCollapsed(spark, scrubbed, minBands = 6)
+    val reps = clusters.groupBy(col("cluster_id")).agg(min(col("doc_id")).as("doc_id"))
+    val deduped = scrubbed.join(reps.select("doc_id"), Seq("doc_id")).localCheckpoint()
+
+    // 4. token-budget domain mix over the surviving corpus
+    val mixed = Sampling.tokenBudgetMixBucketed(
+      deduped, Map("en" -> 20000L, "de" -> 8000L), defaultBudget = 3000L)
+
+    // 5. partitioned corpus write (dynamic overwrite per lang, the
+    // Resume write-option contract)
+    val corpusOut = mixed.select(col("doc_id"), col("lang"), col("n_tokens"))
+      .join(deduped.select(col("doc_id"), col("text")), Seq("doc_id"))
+    corpusOut.write
+      .partitionBy("lang")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(outDir)
+
+    val written = spark.read.parquet(outDir)
+    val (nMixed, nTokens) = {
+      val r = written
+        .agg(count(lit(1)), sum(size(split(col("text"), " ")))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    val reasonJson = reasons.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(
+      f"""{"docs_in":${corpus.count()},"bench_docs":${bench.count()},""" +
+        f""""kept":${reasons.getOrElse("kept", 0L)},"reasons":$reasonJson,""" +
+        f""""pii_docs":$piiDocs,"dedup_reps":${deduped.count()},""" +
+        f""""mixed_docs":$nMixed,"mixed_tokens":$nTokens,"sec":$sec%.3f,"out":"$outDir"}""")
+    spark.stop()
+  }
+}
