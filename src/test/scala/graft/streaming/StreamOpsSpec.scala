@@ -282,6 +282,46 @@ class StreamOpsSpec extends AnyFunSuite {
     shingles.destroy()
   }
 
+  test("filterPolicyStream == batch policy on 200 randomized docs (independent reimpl cross-check)") {
+    // the stream twin recomputes every signal in plain JVM Scala while
+    // the batch op uses Catalyst expressions — agreement on randomized
+    // input is a two-implementation property check of the whole policy
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(4242L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val langs = Vector("en", "de", "zh", "fr")
+    val rows = (1L to 200L).map { i =>
+      val n = 1 + rnd.nextInt(120)
+      // small vocab + occasional forced repetition → all rules reachable
+      val toks = Vector.fill(n)(vocab(rnd.nextInt(if (rnd.nextInt(5) == 0) 2 else vocab.size)))
+      (i, langs(rnd.nextInt(langs.size)), toks.mkString(" "))
+    }
+    val docs = rows.toDF("doc_id", "lang", "text")
+    // benchmark drawn from the same vocab so 5-gram overlap actually occurs
+    val bench = (900L to 905L).map(i =>
+      (i, Vector.fill(30)(vocab(rnd.nextInt(3))).mkString(" "))).toDF("doc_id", "text")
+
+    val batch = graft.ops.TextOps.filterPolicy(docs, bench).collect()
+      .map(r => r.getLong(0) -> (r.getString(3), r.getInt(4))).toMap
+
+    val shingles = StreamOps.benchmarkShingles(spark, bench, k = 5)
+    val mem = MemoryStream[(Long, String, String)]
+    mem.addData(rows)
+    val q = StreamOps.filterPolicyStream(spark, mem.toDF().toDF("doc_id", "lang", "text"), shingles)
+      .writeStream.format("memory").queryName("policy_stream_rand").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("policy_stream_rand").as[StreamOps.PolicyOut].collect()
+      .map(p => p.doc_id -> (p.reason, p.keep)).toMap
+    assert(streamed == batch,
+      s"diverged on ${streamed.count { case (k, v) => batch(k) != v }} docs")
+    // the randomized corpus must actually reach every rule
+    assert(batch.values.map(_._1).toSet ==
+      Set("lang", "too_short", "too_long", "repetitive", "contaminated", "kept"),
+      s"rules reached: ${batch.values.map(_._1).toSet}")
+    shingles.destroy()
+  }
+
   test("tokenBudgetMixStream: one micro-batch equals the batch mix; budget holds across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
