@@ -282,6 +282,37 @@ class StreamOpsSpec extends AnyFunSuite {
     shingles.destroy()
   }
 
+  test("decontaminateStream == batch decontaminate on 150 randomized docs (hit counts, not just flags)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(99L)
+    val vocab = Vector("a", "b", "c") // 3^5 = 243 possible shingles → dense overlap
+    val rows = (1L to 150L).map { i =>
+      val n = 1 + rnd.nextInt(40) // tiny vocab → dense 5-gram overlap, repeated shingles per doc
+      (i, Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val bench = (900L to 902L).map(i =>
+      (i, Vector.fill(25)(vocab(rnd.nextInt(vocab.size))).mkString(" "))).toDF("doc_id", "text")
+
+    val batch = graft.ops.TextOps.decontaminate(docs, bench).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+
+    val shingles = StreamOps.benchmarkShingles(spark, bench)
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(rows)
+    val q = StreamOps.decontaminateStream(spark, mem.toDF().toDF("doc_id", "text"), shingles)
+      .writeStream.format("memory").queryName("decont_stream_rand").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("decont_stream_rand").as[StreamOps.DecontOut].collect()
+      .map(d => d.doc_id -> (d.n_hit_shingles, d.contaminated)).toMap
+    assert(streamed == batch)
+    // dense overlap must produce real multi-shingle hits AND clean docs
+    assert(batch.values.exists(_._1 > 3) && batch.values.exists(_ == ((0L, 0))),
+      s"fixture too weak: ${batch.values.toSeq.sortBy(-_._1).take(3)}")
+    shingles.destroy()
+  }
+
   test("filterPolicyStream == batch policy on 200 randomized docs (independent reimpl cross-check)") {
     // the stream twin recomputes every signal in plain JVM Scala while
     // the batch op uses Catalyst expressions — agreement on randomized
