@@ -638,8 +638,31 @@ object Dedup {
     * For corpus-scale near-dup where approximate recall is acceptable,
     * use nearDupClusters / simhashNearDup / Similarity.bucketedTopK —
     * this operator is the exact verifier.
+    *
+    * SIZE GUARD: because the semantics are Θ(n²) regardless of plan
+    * shape, the operator refuses inputs above `maxExactRows` rows
+    * (default 100k ≈ 5·10⁹ cosine evaluations — the outer limit of a
+    * deliberate single-cluster verification run) unless the caller
+    * passes `exactOk = true`. The probe is a `limit(max+1).count()`,
+    * so it scans at most max+1 rows, never the full table. This is the
+    * same refuse-loudly posture as the mega-bucket guard in
+    * [[lshBucketPairs]]/[[simhashBucketPairs]]: a 100 TB user cannot
+    * run the quadratic verifier by accident; the scale paths are
+    * [[graft.ops.Similarity.annNearDupClusters]] and
+    * [[nearDupClusters]]/[[nearDupClustersCollapsed]].
     */
-  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.95, blocks: Int = 8): DataFrame = {
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.95, blocks: Int = 8,
+                       maxExactRows: Int = 100000, exactOk: Boolean = false): DataFrame = {
+    if (!exactOk) {
+      val probe = embeddings.select(col("vec_id")).limit(maxExactRows + 1).count()
+      require(
+        probe <= maxExactRows,
+        s"embeddingNearDup is an exact all-pairs verifier (Theta(n^2) by semantics) and the " +
+          s"input exceeds maxExactRows=$maxExactRows rows. For corpus-scale embedding dedup use " +
+          s"Similarity.annNearDupClusters (ANN top-k -> cosine threshold -> connected components) " +
+          s"or Dedup.nearDupClusters/nearDupClustersCollapsed; to verify a deliberately-capped " +
+          s"sample anyway, pass exactOk = true.")
+    }
     val B = blocks
     val blk = embeddings.select(
       col("vec_id"), col("embedding"),

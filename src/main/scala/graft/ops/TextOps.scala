@@ -211,19 +211,31 @@ object TextOps {
     * Output: one row per doc in `docs` — (doc_id, n_hit_shingles =
     * DISTINCT contaminated shingles, contaminated = 0/1).
     *
-    * Scale posture: the benchmark side is an eval set — MBs against a
-    * 100 TB training corpus — so its distinct shingle set is
+    * Scale posture: the benchmark side is normally an eval set — MBs
+    * against a 100 TB training corpus — so its distinct shingle set is
     * `broadcast()` and the overlap check is a map-side semi join that
     * pipelines inside the training-corpus scan; the only shuffle is the
-    * per-doc hit count keyed on doc_id. If the benchmark side ever
-    * outgrows broadcast, drop the hint (Catalyst falls back to a
-    * shuffle join) or pre-filter with a Bloom filter of the shingle
-    * hashes; the operator contract is unchanged.
+    * per-doc hit count keyed on doc_id. When the benchmark itself is
+    * corpus-scale (more than `maxBroadcastShingles` distinct shingles —
+    * probed with a `limit(max+1).count()`, never a full count), the op
+    * falls back to a SHUFFLE hash join on the shingle key instead: both
+    * sides repartition by shingle, nothing is collected or broadcast,
+    * and the contract (rows, flags, counts) is identical — spec-gated
+    * equal on both paths. Streaming note: [[graft.streaming.StreamOps
+    * .decontaminateStream]] is the broadcast regime only; a
+    * benchmark too large for the driver should run THIS op inside
+    * `foreachBatch`, where both paths are available.
     */
-  def decontaminate(docs: DataFrame, benchmark: DataFrame, k: Int = 5): DataFrame = {
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, k: Int = 5,
+                    maxBroadcastShingles: Int = 5000000): DataFrame = {
     val benchShingles = Dedup.shingleRows(benchmark, k).select(col("shingle")).distinct()
+    val fitsBroadcast =
+      benchShingles.limit(maxBroadcastShingles + 1).count() <= maxBroadcastShingles
+    val benchSide =
+      if (fitsBroadcast) broadcast(benchShingles)
+      else benchShingles.hint("shuffle_hash")
     val hits = Dedup.shingleRows(docs, k)
-      .join(broadcast(benchShingles), Seq("shingle"))
+      .join(benchSide, Seq("shingle"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hit_shingles"))
     docs
@@ -400,9 +412,13 @@ object TextOps {
     * trainable.
     *
     * Replacement order is fixed (email, then phone, then IP) and
-    * mirrored in the oracle; the three patterns cannot match inside one
-    * another's replacements, so per-type counts taken on the original
-    * text equal the number of substitutions performed.
+    * mirrored in the oracle. Per-type counts are MATCH COUNTS on the
+    * ORIGINAL text, not substitution counts: when PII overlaps (e.g.
+    * `555-1234@ex.com`, where the email's local-part consumes the phone
+    * string), a match swallowed by an earlier pattern's replacement is
+    * still counted, so `pii_total` can exceed the number of placeholder
+    * tokens in `redacted`. The placeholders themselves cannot match any
+    * pattern, so the passes never cascade.
     *
     * Scale posture: a pure row-local select of codegen'd
     * `regexp_count`/`regexp_replace` expressions — ZERO shuffles, the

@@ -79,9 +79,12 @@ object DataPipeline {
       .mode("overwrite")
       .parquet(outDir)
 
-    val written = spark.read.parquet(outDir)
+    // report counts from corpusOut (what THIS run wrote), not a re-read
+    // of outDir: dynamic partition overwrite only replaces partitions
+    // present in the current write, so a re-run that drops a lang would
+    // leave that lang's stale partition on disk and inflate a re-read
     val (nMixed, nTokens) = {
-      val r = written
+      val r = corpusOut
         .agg(count(lit(1)), sum(size(split(col("text"), " ")))).head()
       (r.getLong(0), r.getLong(1))
     }

@@ -177,6 +177,27 @@ class OpsSpec extends AnyFunSuite {
     assert(r(3L) == ((0L, 0)))
   }
 
+  test("decontaminate fallback: shuffle semi-join path equals broadcast path; plans differ as asserted") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 3-symbol vocab for dense 5-gram overlap (5 symbols is too sparse)
+    def sentence() = Seq.fill(12)(Seq("a", "b", "c")(rnd.nextInt(3))).mkString(" ")
+    val train = (0L until 120L).map(i => (i, sentence())).toDF("doc_id", "text")
+    val bench = (0L until 10L).map(i => (i, sentence())).toDF("doc_id", "text")
+
+    def asMap(df: DataFrame) = df.collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getInt(2)))).toMap
+    val broad = TextOps.decontaminate(train, bench) // bench shingles << default cap
+    // force the fallback: cap below the benchmark's distinct shingle count
+    val fell = TextOps.decontaminate(train, bench, maxBroadcastShingles = 3)
+    assert(asMap(fell) == asMap(broad))
+    assert(asMap(broad).values.exists(_._2 == 1), "vacuous fixture: no contamination hit")
+    val broadPlan = broad.queryExecution.executedPlan.toString
+    val fellPlan = fell.queryExecution.executedPlan.toString
+    assert(broadPlan.contains("BroadcastHashJoin"))
+    assert(fellPlan.contains("ShuffledHashJoin"), "fallback must shuffle-join the shingle key")
+  }
+
   test("repetition signals: loops saturate, diverse text stays low, sub-trigram docs drop") {
     val d = docs(
       (1L, "spam spam spam spam spam"), // every bigram/trigram identical
@@ -575,6 +596,24 @@ class OpsSpec extends AnyFunSuite {
     val plan = Dedup.embeddingNearDup(emb, 0.45).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), "tiled near-dup must not cross-join")
     emb.unpersist()
+  }
+
+  test("embeddingNearDup size guard: refuses above maxExactRows, exactOk overrides, below runs") {
+    import spark.implicits._
+    val emb = (0L until 20L).map(i => (i, Seq.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    // above the cap without the override: loud refusal naming the scale path
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDup(emb, 0.9, maxExactRows = 10)
+    }
+    assert(ex.getMessage.contains("annNearDupClusters"))
+    assert(ex.getMessage.contains("exactOk"))
+    // exactOk = true keeps the verifier usable on a deliberately-capped sample
+    val forced = Dedup.embeddingNearDup(emb, 0.9, maxExactRows = 10, exactOk = true)
+    assert(forced.count() == 20L * 19 / 2) // identical vectors: every pair qualifies
+    // below the cap the guard is silent
+    val under = Dedup.embeddingNearDup(emb, 0.9, maxExactRows = 100)
+    assert(under.count() == 20L * 19 / 2)
   }
 
   test("nearDupClusters: doc ids wider than 12 digits stay distinct (lpad width)") {
