@@ -82,7 +82,7 @@ object Bench {
     "q01_agg_pushdown", "q02_join_agg", "q03_window_lag", "q04_topk_per_group",
     "q06_sessionize", "q08_connected_components", "q13_simhash",
     "q15_minhash_sig", "q16_lsh_pairs", "q18_embed_neardup", "q19_cosine_topk",
-    "q20_multimodal_stub", "q21_minhash_fast", "q22_lsh_pairs_fast",
+    "q20_multimodal", "q21_minhash_fast", "q22_lsh_pairs_fast",
     "q23_token_bpe", "q26_neardup_clusters", "q27_simhash_neardup",
     "q34_token_rarity", "q35_boilerplate", "q36_frame_sample", "kg_ann_ivf",
     "q38_decontaminate", "q39_repetition", "q40_token_budget_mix",

@@ -338,8 +338,11 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 3)
     }),
 
-    // -------- multimodal stub ------------------------------------------
-    "q20_multimodal_stub" -> ((s, dir) => Multimodal.features(s, rd(s, dir, "documents"))),
+    // -------- multimodal -----------------------------------------------
+    // Real byte-level header decode over deterministic synthetic PNG/JPEG
+    // payloads; the oracle replays dims, framing lengths AND the raw dim
+    // bytes at their fixed offsets from the doc_id formulas.
+    "q20_multimodal" -> ((s, dir) => Multimodal.features(s, rd(s, dir, "documents"))),
     "q36_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(s, Multimodal.asMedia(s, rd(s, dir, "documents"))).toDF()),
 
@@ -987,11 +990,16 @@ FROM m)
 SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * 32 AS BIGINT) AS frame_offset,
 md5(substr(hx, CAST(i * 64 + 1 AS INT), 64)) AS frame_hash
 FROM f""",
-    "q20_multimodal_stub" ->
-      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS payload_len,
-md5(text) AS feature_hash,
-CAST(greatest(1, (n_chars % 640) // 4) AS INT) AS thumb_w,
-CAST(120 AS INT) AS thumb_h
+    "q20_multimodal" ->
+      """SELECT doc_id,
+CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+CAST(16 + doc_id % 480 AS BIGINT) AS width,
+CAST(16 + (doc_id * 7) % 360 AS BIGINT) AS height,
+CAST(CASE WHEN doc_id % 2 = 0 THEN 57 ELSE 45 END + doc_id % 32 AS BIGINT) AS payload_len,
+true AS header_ok,
+CASE WHEN doc_id % 2 = 0
+  THEN upper(printf('%08x%08x', 16 + doc_id % 480, 16 + (doc_id * 7) % 360))
+  ELSE upper(printf('%04x%04x', 16 + (doc_id * 7) % 360, 16 + doc_id % 480)) END AS dims_hex
 FROM documents"""
   )
 }

@@ -494,14 +494,54 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal stub: deterministic features from binary payloads") {
+  test("image header parse: PNG IHDR dims + CRC verification") {
+    val png = Multimodal.syntheticPng(640, 480, extra = 5)
+    val h = Multimodal.parseImageHeader(png)
+    assert(h == Multimodal.ImageHeader("png", 640, 480, ok = true, ""))
+    // flip one IHDR data byte -> CRC must fail loud
+    val corrupt = png.clone(); corrupt(17) = (corrupt(17) ^ 1).toByte
+    val bad = Multimodal.parseImageHeader(corrupt)
+    assert(!bad.ok && bad.err.contains("crc"))
+    // truncated before the IHDR chunk completes
+    val trunc = Multimodal.parseImageHeader(png.take(20))
+    assert(!trunc.ok && trunc.err.contains("truncated"))
+    assert(!Multimodal.parseImageHeader("not an image".getBytes("UTF-8")).ok)
+  }
+
+  test("image header parse: JPEG marker scan (baseline, progressive, RST, missing SOF)") {
+    val jpg = Multimodal.syntheticJpeg(1920, 1080, extra = 31)
+    assert(Multimodal.parseImageHeader(jpg) == Multimodal.ImageHeader("jpeg", 1920, 1080, ok = true, ""))
+    // progressive (SOF2) + a standalone RST marker before it must still parse
+    val prog = jpg.clone()
+    val sofAt = 29 + 31 - 5 // start of the FF C0 marker (offset 29+extra is the dim field, marker is 5 before)
+    prog(sofAt + 1) = 0xc2.toByte
+    val withRst = prog.take(2) ++ Array(0xff.toByte, 0xd0.toByte) ++ prog.drop(2)
+    val h = Multimodal.parseImageHeader(withRst)
+    assert(h == Multimodal.ImageHeader("jpeg", 1920, 1080, ok = true, ""))
+    // SOI followed directly by EOI: no SOF anywhere
+    val noSof = Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)
+    val miss = Multimodal.parseImageHeader(noSof)
+    assert(!miss.ok && miss.err.contains("without SOF"))
+  }
+
+  test("multimodal decode: parsed headers round-trip the fixture formulas") {
     import spark.implicits._
-    val d = Seq((1L, "hello world", 11L)).toDF("doc_id", "text", "n_chars")
-    val f = Multimodal.features(spark, d).collect().head
-    assert(f.getLong(1) == 11L) // payload_len
-    // md5("hello world")
-    assert(f.getString(2) == "5eb63bbbe01eeed093cb22bb8f5acdc3")
-    assert(f.getInt(3) == 2 && f.getInt(4) == 120) // 11/4=2, 480/4
+    val ids = (0L to 99L) ++ Seq(479L, 480L, 1000L, 65535L)
+    val d = ids.toDF("doc_id")
+    val rows = Multimodal.features(spark, d).collect()
+    assert(rows.length == ids.length)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == (if (id % 2 == 0) "png" else "jpeg"), s"format id=$id")
+      assert(r.getLong(2) == 16 + id % 480, s"width id=$id")
+      assert(r.getLong(3) == 16 + (id * 7) % 360, s"height id=$id")
+      assert(r.getLong(4) == (if (id % 2 == 0) 57 else 45) + id % 32, s"len id=$id")
+      assert(r.getBoolean(5), s"header_ok id=$id")
+      val expHex =
+        if (id % 2 == 0) f"${16 + id % 480}%08X${16 + (id * 7) % 360}%08X"
+        else f"${16 + (id * 7) % 360}%04X${16 + id % 480}%04X"
+      assert(r.getString(6) == expHex, s"dims_hex id=$id")
+    }
   }
 
   test("simhashExpr (row-local, shuffle-free) is bit-identical to the groupBy simhash") {
