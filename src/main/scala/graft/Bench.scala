@@ -89,6 +89,42 @@ object Bench {
     "q41_pii_scrub", "q42_filter_policy"
   )
 
+  /** Catalog keys excluded from the sf1 full-catalog ledger: these run
+    * on the FIXED reference-shaped synthetic corpus (they ignore the sf
+    * dir), so timing them at "sf1" would record constant-size work under
+    * a scaled label. Their sf-scaled twin IS `kg_pipeline` (the fused
+    * scoring pass over a 4×-documents corpus), which every mode times.
+    */
+  private[graft] val fixedCorpusQueries = Set(
+    "kg_mentions", "kg_mentions_crf", "kg_triples", "kg_feature_rows",
+    "kg_eval_ner", "kg_eval_ner_crf", "kg_eval_ddi", "kg_canonical_map",
+    "kg_gold_spans", "kg_gold_pairs"
+  )
+
+  /** Excluded from sf1 for a different reason: their EXACT side is
+    * `Similarity.bruteForceTopK(emb, emb, k)` over ALL rows — a bounded
+    * Θ(n²) recall VERIFIER (like q18's guard rationale), ~4·10⁸ cosine
+    * evaluations at sf1's 20k vectors per timed run. They are
+    * correctness instruments, not scale paths; the ANN surfaces they
+    * verify (kg_ann_bucketed/clustered/cluster_map) ARE in the sf1
+    * ledger, and kg_ann_ivf_recall stays (its exact side is 20 query
+    * rows, not the full table).
+    */
+  private[graft] val quadraticVerifierQueries = Set(
+    "kg_ann_recall", "kg_ann_clustered_recall"
+  )
+
+  /** sf1 mode times the ENTIRE sf-dir-driven catalog (every
+    * SparkEntry.queries key minus [[fixedCorpusQueries]]) so the sf1
+    * ledger has a row for each catalog surface; sf0.1 mode keeps the
+    * faster headline subset the round-over-round noise band is pinned on.
+    */
+  private[graft] def sf1Catalog: Seq[String] =
+    SparkEntry.queries.keys.toSeq
+      .filterNot(fixedCorpusQueries)
+      .filterNot(quadraticVerifierQueries)
+      .sorted
+
   /** sf1 soak dir; regenerated deterministically by tools/gen_sf1.py
     * when absent (/tmp is wiped between sessions — testdata is
     * read-only, so the 10× dataset lives there). The generator is
@@ -126,7 +162,7 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     results("kg_pipeline") = kgSec
-    headlineOps.foreach { name =>
+    (if (sf1Mode) sf1Catalog else headlineOps).foreach { name =>
       val fn = SparkEntry.queries(name)
       // untimed warm-up (codegen + JIT, like a long-running cluster's
       // steady state), then min of 2 timed runs to damp machine noise

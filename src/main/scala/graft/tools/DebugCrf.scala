@@ -31,10 +31,14 @@ object DebugCrf {
     val test = load("/root/reference/data/test")
 
     val (gazMap, gazN) = Train.buildGazetteer(spark, train)
-    // optional second arg: c2 override (measure-only sweeps; the shipped
-    // default stays the reference's l2sgd c2=0.1 for A6 parity)
-    val c2 = args.lift(1).map(_.toDouble).getOrElse(0.1)
-    for (epochs <- args.headOption.map(e => Seq(e.toInt)).getOrElse(Seq(10, 30))) {
+    // optional second NUMERIC arg: c2 override (measure-only sweeps; the
+    // shipped default stays the reference's l2sgd c2=0.1 for A6 parity).
+    // "FROZEN" (any position) runs ONLY the shipped driver-fit crf arm —
+    // the regression-gate mode (tools/regression_gate.sh).
+    val frozen = args.contains("FROZEN")
+    val numeric = args.filter(_.matches("[0-9.]+"))
+    val c2 = numeric.lift(1).map(_.toDouble).getOrElse(0.1)
+    for (epochs <- numeric.headOption.map(e => Seq(e.toInt)).getOrElse(Seq(10, 30))) {
       val t0 = System.nanoTime()
       val params = Train.fitCrf(spark, train, c2 = c2, epochs = epochs)
       val fitSec = (System.nanoTime() - t0) / 1e9
@@ -48,7 +52,9 @@ object DebugCrf {
       lazy val gazFeatParams = Train.fitCrf(spark, train, epochs = epochs, gazFeat = Some(gs))
       // c2 sweeps measure the plain-CRF arm only
       val variants =
-        if (c2 == 0.1) Seq("crf", "gaz+crf", "crf_gazfeat", "crf_dist8", "crf_ipm6") else Seq("crf")
+        if (frozen) Seq("crf")
+        else if (c2 == 0.1) Seq("crf", "gaz+crf", "crf_gazfeat", "crf_dist8", "crf_ipm6")
+        else Seq("crf")
       for (variant <- variants) {
       val crf: MentionScorer = new CrfScorer(params)
       val scorer: MentionScorer = variant match {

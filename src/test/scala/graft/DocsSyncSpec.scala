@@ -40,6 +40,19 @@ class DocsSyncSpec extends AnyFunSuite {
       s"README transitive-dump count != queries - oracles - 1 ($transitive)")
   }
 
+  test("sf1 bench ledger covers every catalog key or names its exclusion") {
+    // the round-5 verdict's "complete the sf1 ledger" contract: each
+    // SparkEntry.queries key is either timed by the sf1 full-catalog
+    // bench or sits in one of the two documented exclusion sets
+    // (fixed-size reference-corpus surfaces; bounded Θ(n²) recall
+    // verifiers whose exact side scans the full table)
+    val covered = Bench.sf1Catalog.toSet ++ Bench.fixedCorpusQueries ++ Bench.quadraticVerifierQueries
+    assert(covered == SparkEntry.queries.keySet,
+      s"unaccounted catalog keys: ${(SparkEntry.queries.keySet -- covered) ++ (covered -- SparkEntry.queries.keySet)}")
+    assert(Bench.sf1Catalog.toSet.intersect(Bench.fixedCorpusQueries ++ Bench.quadraticVerifierQueries).isEmpty,
+      "a key cannot be both timed and excluded")
+  }
+
   test("README spec count matches the registered test total") {
     // also matches test(s"...") interpolated names; walk stream closed
     // (it holds DirectoryStreams for the whole tree otherwise)
