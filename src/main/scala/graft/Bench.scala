@@ -111,7 +111,7 @@ object Bench {
     * rows, not the full table).
     */
   private[graft] val quadraticVerifierQueries = Set(
-    "kg_ann_recall", "kg_ann_clustered_recall"
+    "kg_ann_recall", "kg_ann_clustered_recall", "kg_ann_ivf_all_recall"
   )
 
   /** sf1 mode times the ENTIRE sf-dir-driven catalog (every

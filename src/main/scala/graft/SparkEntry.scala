@@ -243,6 +243,53 @@ object SparkEntry {
       Similarity.annNearDupClusters(
         s, Similarity.clusterBoost(rd(s, dir, "embeddings")), threshold = 0.9,
         k = 3, nPlanes = 6, multiProbe = true)),
+    // IVF twin of the clustered-ANN trio (round 6): the sf1 full-catalog
+    // ledger measured hyperplane LSH DEGENERATING on the clusterBoost
+    // corpus — sign-bit buckets are angularly atomic, so buckets
+    // collapse to whole clusters and per-bucket top-k goes Θ(Σ cluster²)
+    // (kg_ann_clustered: 192 s at 20k vectors, costlier than the exact
+    // q18 verifier). IVF cells are seeded by SAMPLED CORPUS POINTS, so
+    // they subdivide tight clusters and per-query work stays
+    // nProbe·n/nCells by construction — this trio is the embedding-dedup
+    // scale path for clustered corpora. kg_ann_ivf_all has no DuckDB
+    // twin (the centroid sample is Spark murmur3) but is transitively
+    // hash-verified by kg_ann_ivf_all_recall (exact side replayed in SQL
+    // from the boosted table, ALL queries) and consumed by the
+    // kg_ann_ivf_map replay.
+    // nCells scales as √(nProbe·n) (Similarity.ivfAutoCells — the
+    // balanced IVF-flat rule) so assignment and candidate work meet at
+    // Θ(n^1.5) for the all-queries self-search; a fixed cell count would
+    // re-grow toward the quadratic join as the corpus scales. Verify-SF
+    // values follow the same rule (n=500 → 32 cells).
+    "kg_ann_ivf_all" -> ((s, dir) => {
+      val emb = Similarity.clusterBoost(rd(s, dir, "embeddings"))
+      Similarity.ivfTopK(emb, emb, 3, nCells = Similarity.ivfAutoCells(emb.count()), nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
+    // Θ(n²) exact side by role (like kg_ann_recall) — a verifier, not a
+    // scale path; excluded from the sf1 timing ledger for that reason.
+    // HONESTY NOTE on the value: within a boosted cluster the siblings
+    // are noise-equidistant, so exact-top-3 membership is near-arbitrary
+    // among ~60 candidates and ANN top-k recall tracks the PROBED
+    // FRACTION of the cluster (≈0.68 at n=500 under the √(2n) cell
+    // rule, vs 0.92 when cells ≈ clusters). The DEDUP product is
+    // insensitive to this: any above-threshold candidate edge connects
+    // the component, and kg_ann_ivf_map recovers the planted clusters
+    // EXACTLY (8 pure clusters, full coverage) at that same recall —
+    // this row measures ranking fidelity, the map row measures the
+    // product.
+    "kg_ann_ivf_all_recall" -> ((s, dir) => {
+      val emb = Similarity.clusterBoost(rd(s, dir, "embeddings"))
+      annRecall(
+        Similarity.ivfTopK(emb, emb, 3, nCells = Similarity.ivfAutoCells(emb.count()), nProbe = 2),
+        Similarity.bruteForceTopK(emb, emb, 3))
+    }),
+    "kg_ann_ivf_map" -> ((s, dir) => {
+      val emb = Similarity.clusterBoost(rd(s, dir, "embeddings"))
+      Similarity.ivfNearDupClusters(
+        s, emb, threshold = 0.9,
+        k = 3, nCells = Similarity.ivfAutoCells(emb.count()), nProbe = 2)
+    }),
 
     // -------- relational core (DuckDB-verified) -----------------------
     "q01_agg_pushdown" -> ((s, dir) => {
@@ -554,6 +601,24 @@ WITH RECURSIVE r(node, comp) AS (
   SELECT e.dst, r.comp FROM r JOIN e ON e.src = r.node WHERE r.comp < e.dst)
 SELECT node, min(comp) AS comp FROM r GROUP BY node)"""
 
+  /** Cluster-map replay over an ANN candidate dump: threshold the
+    * candidates into edges, min-label CC (the shared recursive CTE),
+    * vectors without a qualifying neighbor cluster to themselves. One
+    * definition for the LSH (kg_ann_cluster_map) and IVF
+    * (kg_ann_ivf_map) flows.
+    */
+  private def clusterMapSql(dumpName: String): String =
+    s"""WITH p AS (SELECT least(query_id, neighbor_id) AS a,
+greatest(query_id, neighbor_id) AS b
+FROM ${dump(dumpName)} WHERE cos >= 0.9),
+raw AS (SELECT DISTINCT lpad(CAST(a AS VARCHAR), 19, '0') AS src,
+               lpad(CAST(b AS VARCHAR), 19, '0') AS dst FROM p),
+e AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+$ccLblCte
+SELECT v.vec_id, COALESCE(CAST(l.comp AS BIGINT), v.vec_id) AS cluster_id
+FROM (SELECT DISTINCT vec_id FROM embeddings) v
+LEFT JOIN lbl l ON lpad(CAST(v.vec_id AS VARCHAR), 19, '0') = l.node"""
+
   def oracleSql: Map[String, String] = Map(
     "kg_eval_ner" -> evalOracle(
       s"sid || '|' || raw_offset || '|' || text AS einfo, etype FROM ${dump("kg_gold_spans")}",
@@ -630,17 +695,13 @@ FROM ap JOIN ex USING (event_type)""",
     // ANN cluster map replay (q26's CC pattern over the ANN dump):
     // same threshold, same min-label components, vectors without a
     // qualifying neighbor cluster to themselves.
-    "kg_ann_cluster_map" ->
-      s"""WITH p AS (SELECT least(query_id, neighbor_id) AS a,
-greatest(query_id, neighbor_id) AS b
-FROM ${dump("kg_ann_clustered")} WHERE cos >= 0.9),
-raw AS (SELECT DISTINCT lpad(CAST(a AS VARCHAR), 19, '0') AS src,
-               lpad(CAST(b AS VARCHAR), 19, '0') AS dst FROM p),
-e AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
-$ccLblCte
-SELECT v.vec_id, COALESCE(CAST(l.comp AS BIGINT), v.vec_id) AS cluster_id
-FROM (SELECT DISTINCT vec_id FROM embeddings) v
-LEFT JOIN lbl l ON lpad(CAST(v.vec_id AS VARCHAR), 19, '0') = l.node""",
+    "kg_ann_cluster_map" -> clusterMapSql("kg_ann_clustered"),
+    // IVF twins: the cluster-map replay over the IVF candidate dump, and
+    // the recall replay whose exact side is recomputed in SQL from the
+    // boosted table (ALL queries) — transitively hash-verifying
+    // kg_ann_ivf_all the same way kg_ann_clustered is verified.
+    "kg_ann_ivf_map" -> clusterMapSql("kg_ann_ivf_all"),
+    "kg_ann_ivf_all_recall" -> annRecallSql("", "kg_ann_ivf_all", clusteredEmbCte),
     // Canonicalize.variants + min-label CC replayed in SQL: same string
     // rewrites (paren strip, squash, hyphen drop, deplural), same
     // surface<->variant bipartite edges, same canonical = lexicographic

@@ -148,9 +148,24 @@ object Similarity {
     * global sort, so this stays O(n log k) with no shuffle at corpus
     * scale; the result is driver-side and tiny (nCells ≤ ~4k).
     */
+  /** Scale-aware cell count, balanced rule: total work for an
+    * all-queries self-search is assignment n·nCells plus candidates
+    * n·nProbe·(n/nCells); both terms meet at nCells ≈ √(nProbe·n), the
+    * classic IVF-flat optimum (FAISS's √n-cells guidance), making the
+    * whole search Θ(n^1.5) where a FIXED cell count re-grows toward the
+    * quadratic join as n scales. Floor 16 so tiny verify corpora keep a
+    * meaningful multi-cell index; recall holds on the planted-cluster
+    * fixture down to cells of ~15 (measured 0.92 @ k=3, nProbe=2).
+    */
+  def ivfAutoCells(n: Long, nProbe: Int = 2): Int =
+    math.max(16L, math.ceil(math.sqrt(nProbe.toDouble * n)).toLong).toInt
+
   def ivfCentroids(embeddings: DataFrame, nCells: Int): Seq[(Int, Seq[Float])] =
     embeddings
-      .select(col("vec_id"), col("embedding"))
+      // float32 centroids regardless of input width (clusterBoost emits
+      // array<double>): centroids are arbitrary sample points, the
+      // query/corpus cosine against them runs in double either way
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
       .orderBy(hash(col("vec_id")), col("vec_id"))
       .limit(nCells)
       .collect()
@@ -174,7 +189,13 @@ object Similarity {
         // vector (either side) would become the "nearest" cell for every
         // row and collapse the index into one quadratic cell. Map null
         // to +inf so zero-norm pairs rank LAST instead.
-        coalesce(-cosine(emb, c.getField("_2")), lit(Double.MaxValue)).as("neg_cos"),
+        // both sides widened to double so float corpora (kg_ann_ivf) and
+        // the double clusterBoost corpora score against the float32
+        // centroids alike; CosineSim widens elements to double before
+        // any arithmetic, so this cast is bit-identical for float input
+        coalesce(
+          -cosine(emb.cast("array<double>"), c.getField("_2").cast("array<double>")),
+          lit(Double.MaxValue)).as("neg_cos"),
         c.getField("_1").as("cell")))
     slice(array_sort(scored), 1, nProbe)
   }
@@ -199,10 +220,18 @@ object Similarity {
       k: Int,
       nCells: Int = 16,
       nProbe: Int = 2): DataFrame = {
-    val centroids = ivfCentroids(embeddings, nCells)
-    val corpus = ivfAssign(embeddings, centroids)
+    // localCheckpoint (same rationale as bucketedTopK): cut the input
+    // lineage so an EXPRESSION-defined embedding column (clusterBoost's
+    // 64-md5-per-row transform) is materialized ONCE per row here —
+    // without this, Catalyst inlines the transform through the cell join
+    // and re-evaluates it per CANDIDATE PAIR (measured: 152 s for the
+    // sf1 kg_ann_ivf_all before the cut, md5 ×50M pairs ×64 dims ×2)
+    val emb = embeddings.localCheckpoint()
+    val q = if (queries eq embeddings) emb else queries.localCheckpoint()
+    val centroids = ivfCentroids(emb, nCells)
+    val corpus = ivfAssign(emb, centroids)
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
-    val probes = queries
+    val probes = q
       .select(
         col("vec_id").as("query_id"),
         col("embedding").as("q_emb"),
@@ -245,9 +274,46 @@ object Similarity {
       threshold: Double,
       k: Int = 3,
       nPlanes: Int = 6,
-      multiProbe: Boolean = true): DataFrame = {
+      multiProbe: Boolean = true): DataFrame =
+    topKToClusters(spark, embeddings, bucketedTopK(embeddings, k, nPlanes, multiProbe), threshold)
+
+  /** IVF twin of [[annNearDupClusters]] — the embedding-dedup scale path
+    * for CLUSTERED corpora. The round-6 full-catalog sf1 ledger exposed
+    * hyperplane LSH's degeneracy on tightly clustered data: sign-bit
+    * buckets are ANGULARLY atomic (a random hyperplane through the
+    * origin rarely cuts a tight cluster — it must pass within the
+    * cluster's angular radius), so buckets collapse to whole clusters
+    * and per-bucket top-k goes Θ(Σ cluster²) — kg_ann_clustered cost
+    * 192 s at sf1's 20k vectors, MORE than the exact q18 verifier.
+    * IVF does not degenerate there: its centroids are SAMPLED CORPUS
+    * POINTS, so every tight cluster receives ~(nCells / nClusters)
+    * centroids and is subdivided into cells of ~n/nCells regardless of
+    * how tight it is; per-query work is nProbe · n / nCells, chosen by
+    * parameters instead of dictated by the data. Same contract
+    * otherwise: top-k candidates thresholded on cosine become edges,
+    * long-keyed CC labels every vector with its component minimum.
+    */
+  def ivfNearDupClusters(
+      spark: org.apache.spark.sql.SparkSession,
+      embeddings: DataFrame,
+      threshold: Double,
+      k: Int = 3,
+      nCells: Int = 16,
+      nProbe: Int = 2): DataFrame =
+    topKToClusters(
+      spark, embeddings, ivfTopK(embeddings, embeddings, k, nCells, nProbe), threshold)
+
+  /** Shared tail of the ANN-dedup flows: threshold the candidate top-k
+    * into a duplicate graph, run long-keyed CC, label every vector
+    * (no qualifying neighbor → own cluster).
+    */
+  private def topKToClusters(
+      spark: org.apache.spark.sql.SparkSession,
+      embeddings: DataFrame,
+      topk: DataFrame,
+      threshold: Double): DataFrame = {
     import spark.implicits._
-    val edges = bucketedTopK(embeddings, k, nPlanes, multiProbe)
+    val edges = topk
       .filter(col("cos") >= threshold)
       .select(
         least(col("query_id"), col("neighbor_id")).as("a"),
@@ -260,13 +326,26 @@ object Similarity {
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("vec_id")))
   }
 
-  /** ANN top-k restricted to same-bucket candidates (the scale path).
+  /** ANN top-k restricted to same-bucket candidates (the scale path for
+    * corpora without tight cluster structure).
     * Recall < 1 by construction; `multiProbe = true` additionally probes
     * every bucket at Hamming distance 1 from the query's (flip each of
     * the `nPlanes` sign bits) — the standard multi-probe LSH recall
     * lever: candidate budget grows ×(nPlanes+1) on the QUERY side only,
     * the corpus keeps exactly one bucket per vector, so no pair can be
     * scored twice and the join stays keyed on the bucket.
+    *
+    * DEGENERACY CAVEAT (measured, round-6 sf1 ledger): on TIGHTLY
+    * CLUSTERED data, sign-bit buckets are angularly atomic — a random
+    * hyperplane through the origin cuts a cluster only if it passes
+    * within the cluster's angular radius, so adding planes stops
+    * splitting buckets once bucket ≈ cluster, and the per-bucket
+    * self-join degenerates to Θ(Σ cluster²) (kg_ann_clustered: 192 s on
+    * 20k clusterBoost vectors — costlier than the exact verifier). For
+    * clustered corpora use [[ivfTopK]] / [[ivfNearDupClusters]]: IVF
+    * cells are seeded by sampled corpus points, so they subdivide tight
+    * clusters and per-query work stays nProbe · n / nCells by
+    * construction.
     */
   def bucketedTopK(
       embeddings: DataFrame, k: Int, nPlanes: Int = 8, multiProbe: Boolean = false): DataFrame = {

@@ -123,6 +123,32 @@ class AnnRecallSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  test("IVF twin on the clusterBoost fixture: recall >= 0.9 and exact planted-cluster recovery") {
+    import spark.implicits._
+    // the scale path for clustered corpora (round 6): hyperplane LSH
+    // degenerates there (buckets == clusters, Θ(Σ cluster²) — measured
+    // 192 s at sf1), IVF subdivides clusters with sampled centroids
+    val rnd = new Random(17)
+    val iso = (0L until 240L).map(i => (i, Seq.fill(64)(rnd.nextGaussian().toFloat * 0.125f)))
+      .toDF("vec_id", "embedding")
+    val boosted = Similarity.clusterBoost(iso, nClusters = 8, strength = 3.0).cache()
+    val exact = neighborSets(Similarity.bruteForceTopK(boosted, boosted, K))
+    val ivf = meanRecall(exact,
+      neighborSets(Similarity.ivfTopK(boosted, boosted, K, nCells = 16, nProbe = 2)))
+    info(f"IVF (nCells=16, nProbe=2) recall@3 on clustered data: $ivf%.3f")
+    assert(ivf >= 0.9, f"clustered IVF recall too low: $ivf%.3f — the kg_ann_ivf_* entries would be hollow")
+    val got = Similarity.ivfNearDupClusters(spark, boosted, threshold = 0.9, nCells = 16, nProbe = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 240)
+    got.groupBy(_._2).values.foreach { members =>
+      assert(members.keys.map(_ % 8).toSet.size == 1,
+        s"merged ground-truth groups: ${members.keys.toSeq.sorted}")
+    }
+    assert(got.groupBy(_._2).values.count(_.size >= 10) == 8,
+      "expected the 8 planted clusters")
+    boosted.unpersist()
+  }
+
   test("same-bucket property: near-identical vectors collide") {
     import spark.implicits._
     val pairs = Seq(
