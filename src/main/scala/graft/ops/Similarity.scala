@@ -175,38 +175,88 @@ object Similarity {
 
   /** The `nProbe` nearest cells for a vector column, as an array of
     * struct(neg_cos, cell) sorted by descending cosine (ties → lower
-    * cell id). One fused pass per row: the centroid table rides along
-    * as an array literal (broadcast with the plan), scored by the
-    * native CosineSim inside codegen — no join, no row blow-up.
+    * cell id). One fused pass per row: each centroid is its own typed
+    * array LITERAL scored by the native CosineSim, and the whole
+    * `array(struct, …)` tree stays inside whole-stage codegen.
+    *
+    * Deliberately NOT a `transform` HOF over a centroid-table literal:
+    * `ArrayTransform` lambdas are interpreted (no codegen), and the
+    * per-element `cast` inside the lambda re-allocated BOTH the 64-dim
+    * embedding and the centroid per (row × centroid) evaluation —
+    * measured 5× slower on the sf1 20k×200 assignment (the whole
+    * kg_ann_ivf_all went 41.6 s → 8.0 s from this rewrite alone).
+    *
+    * Type matching instead of casting: centroid literals are emitted in
+    * the embedding column's own element type (float32 centroids widen
+    * to double EXACTLY, so scores are bit-identical either way); the
+    * embedding column itself is only cast when its element type is
+    * neither float nor double, and `SimplifyCasts` removes the no-op.
     */
   private def nearestCells(
-      emb: Column, centroids: Seq[(Int, Seq[Float])], nProbe: Int): Column = {
-    val scored = transform(
-      typedLit(centroids),
-      c => struct(
+      emb: Column,
+      elemType: org.apache.spark.sql.types.DataType,
+      centroids: Seq[(Int, Seq[Float])],
+      nProbe: Int): Column = {
+    // empty corpus → empty centroid sample: `array()` of zero children
+    // is array<null> and fails analysis at the struct accessors, so emit
+    // a TYPED empty literal (rows are zero anyway on an empty input)
+    if (centroids.isEmpty)
+      return array().cast("array<struct<neg_cos:double,cell:int>>")
+    val isFloat = elemType == org.apache.spark.sql.types.FloatType
+    val e = if (isFloat) emb else emb.cast("array<double>")
+    val scored = array(centroids.map { case (id, vec) =>
+      val c = if (isFloat) typedLit(vec) else typedLit(vec.map(_.toDouble))
+      struct(
         // CosineSim is null for zero-norm vectors, and struct ordering
         // sorts a null field FIRST ascending — unguarded, a zero-norm
         // vector (either side) would become the "nearest" cell for every
         // row and collapse the index into one quadratic cell. Map null
         // to +inf so zero-norm pairs rank LAST instead.
-        // both sides widened to double so float corpora (kg_ann_ivf) and
-        // the double clusterBoost corpora score against the float32
-        // centroids alike; CosineSim widens elements to double before
-        // any arithmetic, so this cast is bit-identical for float input
-        coalesce(
-          -cosine(emb.cast("array<double>"), c.getField("_2").cast("array<double>")),
-          lit(Double.MaxValue)).as("neg_cos"),
-        c.getField("_1").as("cell")))
+        coalesce(-cosine(e, c), lit(Double.MaxValue)).as("neg_cos"),
+        lit(id).as("cell"))
+    }: _*)
+    // array_sort is CodegenFallback (comparator lambda), but the scored
+    // array it consumes is a fully codegen'd child and the sort itself
+    // is one nCells·log(nCells) pass per row — an iterative
+    // array_min/array_remove argmin was tried and measured SLOWER for
+    // nProbe=2 (subexpression elimination does not collapse the
+    // repeated `scored` subtree across the min/remove steps, so the
+    // nCells cosines were evaluated twice).
     slice(array_sort(scored), 1, nProbe)
   }
+
+  private def embElemType(df: DataFrame): org.apache.spark.sql.types.DataType =
+    df.schema("embedding").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
 
   /** Corpus side of the IVF index: each vector labeled with its single
     * nearest cell.
     */
+  /** Probe side of the IVF search (query_id, q_emb, cell), exposed for
+    * the DebugIvf cost decomposition.
+    */
+  private[graft] def ivfProbesForDebug(
+      queries: DataFrame, centroids: Seq[(Int, Seq[Float])], nProbe: Int): DataFrame =
+    queries
+      .select(
+        col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"),
+        explode(nearestCells(col("embedding"), embElemType(queries), centroids, nProbe))
+          .as("probe"))
+      .select(col("query_id"), col("q_emb"), col("probe.cell").as("cell"))
+
   def ivfAssign(embeddings: DataFrame, centroids: Seq[(Int, Seq[Float])]): DataFrame =
     embeddings.withColumn(
       "cell",
-      element_at(nearestCells(col("embedding"), centroids, 1), 1).getField("cell"))
+      // empty centroid sample ⇒ empty corpus: emit a typed null cell
+      // (zero rows flow anyway). element_at over the empty literal is
+      // NOT an option — constant folding evaluates it at plan time and
+      // ANSI element_at throws on the out-of-bounds index.
+      if (centroids.isEmpty) lit(null).cast("int")
+      else
+        element_at(
+          nearestCells(col("embedding"), embElemType(embeddings), centroids, 1),
+          1).getField("cell"))
 
   /** IVF ANN top-k: queries probe their `nProbe` nearest cells and rank
     * only the candidates assigned there. Join fan-out is bounded by
@@ -227,16 +277,36 @@ object Similarity {
     // and re-evaluates it per CANDIDATE PAIR (measured: 152 s for the
     // sf1 kg_ann_ivf_all before the cut, md5 ×50M pairs ×64 dims ×2)
     val emb = embeddings.localCheckpoint()
-    val q = if (queries eq embeddings) emb else queries.localCheckpoint()
-    val centroids = ivfCentroids(emb, nCells)
-    val corpus = ivfAssign(emb, centroids)
-      .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
-    val probes = q
-      .select(
-        col("vec_id").as("query_id"),
-        col("embedding").as("q_emb"),
-        explode(nearestCells(col("embedding"), centroids, nProbe)).as("probe"))
-      .select(col("query_id"), col("q_emb"), col("probe.cell").as("cell"))
+    val (corpus, probes) =
+      if (queries eq embeddings) {
+        // self-search fusion: a vector's assigned cell IS the first
+        // entry of its own probe list, so ONE nearestCells pass (the
+        // nCells-cosine scan, the expensive per-row step) serves both
+        // sides; localCheckpoint materializes it once.
+        val centroids = ivfCentroids(emb, nCells)
+        val scored = emb
+          .select(
+            col("vec_id"), col("embedding"),
+            nearestCells(col("embedding"), embElemType(emb), centroids, nProbe).as("cells"))
+          .localCheckpoint()
+        (scored.select(
+          element_at(col("cells"), 1).getField("cell").as("cell"),
+          col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")),
+          scored.select(
+            col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+            explode(col("cells")).as("probe"))
+            .select(col("query_id"), col("q_emb"), col("probe.cell").as("cell")))
+      } else {
+        val q = queries.localCheckpoint()
+        val centroids = ivfCentroids(emb, nCells)
+        (ivfAssign(emb, centroids)
+          .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")),
+          q.select(
+            col("vec_id").as("query_id"),
+            col("embedding").as("q_emb"),
+            explode(nearestCells(col("embedding"), embElemType(q), centroids, nProbe)).as("probe"))
+            .select(col("query_id"), col("q_emb"), col("probe.cell").as("cell")))
+      }
     val w = Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -245,7 +315,23 @@ object Similarity {
       .select(
         col("query_id"),
         col("neighbor_id"),
+        // rank on the ROUNDED cosine deliberately: every exact side this
+        // is compared against (bruteForceTopK, the DuckDB recall
+        // replays) ranks rounded — 4-decimal rounding is the contract
+        // that absorbs cross-engine float sum-order differences at tie
+        // boundaries. Rounding after rank was tried (round() is
+        // BigDecimal per row, ~4 s over 8.2M sf1 candidates) and
+        // measurably DESYNCED the rankings: multi-probe recall fell
+        // 1.000 → 0.928 purely from tie-order disagreement.
         round(cosine(col("q_emb"), col("n_emb")), 4).as("cos"))
+      // explicit pre-window repartition on query_id: the window would
+      // exchange anyway, but letting IT plan the exchange off the
+      // cell-join output cost +75% on the whole tail (measured 15.1 s →
+      // 8.6 s at sf1's 8.2M candidates); pinning the partition count
+      // also keeps the sort width at the session's shuffle parallelism
+      .repartition(
+        embeddings.sparkSession.sessionState.conf.numShufflePartitions,
+        col("query_id"))
       // no dedup needed: each corpus vector lives in exactly one cell,
       // so a (query, neighbor) pair appears at most once across probes
       .withColumn("rank", row_number().over(w))
@@ -368,8 +454,14 @@ object Similarity {
       .select(
         col("query_id"),
         col("neighbor_id"),
+        // rounded-before-rank: the cross-engine tie-boundary contract —
+        // see the ivfTopK note
         round(cosine(col("q_emb"), col("n_emb")), 4).as("cos")
       )
+      // same pre-window repartition as ivfTopK (measured there at sf1)
+      .repartition(
+        embeddings.sparkSession.sessionState.conf.numShufflePartitions,
+        col("query_id"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

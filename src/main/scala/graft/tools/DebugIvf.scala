@@ -22,6 +22,55 @@ object DebugIvf {
     val assigned = t("assign+count")(Similarity.ivfAssign(emb, cents).localCheckpoint())
     println(s"[ivf] assigned rows=${assigned.count()}")
     t("cellsizes")(assigned.groupBy("cell").count().orderBy(desc("count")).show(5))
+    // decompose the search: probes alone, candidate join alone (no
+    // window), then the full top-k
+    val probes = t("probes")(Similarity.ivfProbesForDebug(emb, cents, 2).localCheckpoint())
+    println(s"[ivf] probe rows=${probes.count()}")
+    val corpus = assigned
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+    val cand = t("candidate join count")(
+      probes.join(corpus, Seq("cell")).filter(col("query_id") =!= col("neighbor_id")).count())
+    println(s"[ivf] candidate pairs=$cand")
+    val candCos = t("candidates + cosine")(
+      probes.join(corpus, Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))
+        .select(Similarity.cosine(col("q_emb"), col("n_emb")).as("cos"))
+        .agg(sum(col("cos"))).head())
+    println(s"[ivf] cos sum=$candCos")
+    // tail in isolation over the checkpointed probes/corpus: join +
+    // round(cosine) + window rank — the full op minus index build
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+    val tail = t("join+round+window tail")(
+      probes.join(corpus, Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(Similarity.cosine(col("q_emb"), col("n_emb")), 4).as("cos"))
+        .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rank") <= 3).count())
+    println(s"[ivf] tail rows=$tail")
+    val noRound = t("tail without round")(
+      probes.join(corpus, Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          Similarity.cosine(col("q_emb"), col("n_emb")).as("cos"))
+        .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rank") <= 3).count())
+    println(s"[ivf] no-round rows=$noRound")
+    val repart = t("tail with explicit repartition(32, query_id)")(
+      probes.join(corpus, Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(Similarity.cosine(col("q_emb"), col("n_emb")), 4).as("cos"))
+        .repartition(32, col("query_id"))
+        .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rank") <= 3).count())
+    println(s"[ivf] repart rows=$repart")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val noCoalesce = t("tail with AQE coalesce off")(
+      probes.join(corpus, Seq("cell")).filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(Similarity.cosine(col("q_emb"), col("n_emb")), 4).as("cos"))
+        .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rank") <= 3).count())
+    println(s"[ivf] no-coalesce rows=$noCoalesce")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     val topk = t("full ivfTopK")(Similarity.ivfTopK(emb, emb, 3, nCells, 2).count())
     println(s"[ivf] topk rows=$topk")
     spark.stop()
