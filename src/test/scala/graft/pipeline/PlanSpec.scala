@@ -143,4 +143,20 @@ class PlanSpec extends AnyFunSuite {
       "clustered ANN degraded to a nested-loop cross product:\n" + plan)
     assert(plan.contains("cosine_sim"), "native CosineSim missing from the clustered ANN plan")
   }
+
+  test("kg_ann_ivf_all: cell-KEYED candidate join, native cosine, pinned pre-window exchange") {
+    // the round-6 IVF tail engineering, regression-locked: candidates
+    // must meet through the cell equi-join (a nested-loop product is
+    // the quadratic plan IVF exists to avoid), scoring must stay on the
+    // native codegen'd CosineSim, and the window must consume the
+    // EXPLICIT user repartition on query_id (REPARTITION_BY_NUM) — the
+    // window planning its own exchange off the cell-join output
+    // measured +75% on the sf1 tail
+    val plan = planOf(SparkEntry.queries("kg_ann_ivf_all")(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "IVF candidate join degraded to a nested-loop cross product:\n" + plan)
+    assert(plan.contains("cosine_sim"), "native CosineSim missing from the IVF plan:\n" + plan)
+    assert(plan.contains("REPARTITION_BY_NUM"),
+      "pre-window repartition on query_id lost:\n" + plan)
+  }
 }
