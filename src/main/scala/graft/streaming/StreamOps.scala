@@ -127,15 +127,7 @@ object StreamOps {
       maxPerBucket: Int = 64
   ): Dataset[EmbRow] = {
     import spark.implicits._
-    def cos(a: Seq[Float], b: Seq[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
-      }
-      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
-    }
+    val cos = cosF _
     graft.ops.Similarity.lshBuckets(emb.toDF(), nPlanes)
       .as[(Long, Seq[Float], Long)]
       .groupByKey(_._3)
@@ -148,6 +140,80 @@ object StreamOps {
             if (!dup) {
               out += EmbRow(id, vec)
               ring = BucketRing((ring.vecs :+ vec).takeRight(maxPerBucket))
+            }
+          }
+          state.update(ring)
+          out.result().iterator
+        })
+  }
+
+  /** Plain-Scala cosine for the streaming dedup rings (state-side code
+    * runs outside Catalyst; zero-norm → 0.0, i.e. never a dup match).
+    */
+  private def cosF(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** IVF twin of [[annDedupStream]] — streaming near-dup suppression
+    * for CLUSTERED embedding streams. The LSH twin keys its state on
+    * hyperplane sign buckets, which DEGENERATE on tightly clustered
+    * data (the round-6 batch finding, `Similarity.bucketedTopK`
+    * scaladoc): bucket ≈ cluster, so one ring absorbs the whole
+    * cluster, saturates at `maxPerBucket`, and every arriving member
+    * linear-scans a full ring while suppression quality collapses to
+    * the ring's retention horizon. IVF cells are seeded by SAMPLED
+    * corpus points — `centroids` is a static index snapshot built
+    * OFFLINE with [[graft.ops.Similarity.ivfCentroids]] on a corpus
+    * sample (the standard train-then-serve ANN split) — so a tight
+    * cluster is subdivided across ~nCells/nClusters cells and
+    * per-event work stays ring-bounded and cluster-independent.
+    *
+    * Assignment is single-cell (the streaming analogue of nProbe = 1):
+    * exactly one state row per cell, ≤ nCells × maxPerCell vectors of
+    * state total, no watermark needed — the same bounded-state contract
+    * as the LSH twin. Trades, stated plainly: a near-dup pair
+    * straddling a cell boundary is not compared (the batch pass over
+    * the sink table is the exact sweep), and a duplicate of a vector
+    * evicted from its ring is re-admitted. Tie-break mirrors the batch
+    * `nearestCells` exactly: highest cosine, then LOWEST cell id
+    * (centroids are scanned in id order with a strict `>`).
+    */
+  def ivfDedupStream(
+      spark: SparkSession,
+      emb: Dataset[EmbRow],
+      centroids: Seq[(Int, Seq[Float])],
+      threshold: Double = 0.95,
+      maxPerCell: Int = 64
+  ): Dataset[EmbRow] = {
+    import spark.implicits._
+    require(centroids.nonEmpty, "ivfDedupStream needs a non-empty centroid snapshot")
+    val cents = centroids.sortBy(_._1).toArray
+    emb
+      .map { r =>
+        var bestCell = cents(0)._1
+        var bestCos = Double.NegativeInfinity
+        cents.foreach { case (cid, cvec) =>
+          val s = cosF(cvec, r.embedding)
+          if (s > bestCos) { bestCos = s; bestCell = cid }
+        }
+        (r.vec_id, r.embedding, bestCell)
+      }
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Int, it: Iterator[(Long, Seq[Float], Int)], state: GroupState[BucketRing]) => {
+          var ring = state.getOption.getOrElse(BucketRing(Nil))
+          val out = Seq.newBuilder[EmbRow]
+          it.toSeq.sortBy(_._1).foreach { case (id, vec, _) =>
+            val dup = ring.vecs.exists(v => cosF(v, vec) >= threshold)
+            if (!dup) {
+              out += EmbRow(id, vec)
+              ring = BucketRing((ring.vecs :+ vec).takeRight(maxPerCell))
             }
           }
           state.update(ring)

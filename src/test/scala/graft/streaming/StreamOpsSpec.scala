@@ -174,6 +174,60 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(ids.contains(100L), s"evicted direction must be re-admitted, got $ids")
   }
 
+  test("ivfDedupStream: per-cluster dups suppressed across micro-batches; distinct cells pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def basis(i: Int, eps: Float = 0f): Seq[Float] =
+      Seq.tabulate(8)(d => if (d == i) 1f else if (d == (i + 1) % 8) eps else 0f)
+    // static centroid snapshot: one sampled point per planted cluster —
+    // the offline-index-then-serve split the scaladoc describes
+    val centroids = Seq((0, basis(0)), (1, basis(2)), (2, basis(4)))
+    val mem = MemoryStream[StreamOps.EmbRow]
+    mem.addData(
+      StreamOps.EmbRow(1L, basis(0, 0.001f)), // cell 0, first of cluster A
+      StreamOps.EmbRow(2L, basis(0, 0.002f)), // near-dup of 1, same cell: suppressed
+      StreamOps.EmbRow(3L, basis(2))) // cell 1: passes
+    val q = StreamOps.ivfDedupStream(spark, mem.toDS(), centroids, threshold = 0.999)
+      .writeStream.format("memory").queryName("ivf_dedup_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // cross-batch: another cluster-A dup, and the first cell-2 vector
+    mem.addData(
+      StreamOps.EmbRow(4L, basis(0, 0.003f)),
+      StreamOps.EmbRow(5L, basis(4, 0.001f)))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("ivf_dedup_stream").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 3L, 5L), s"expected first-of-each-cluster only, got $ids")
+  }
+
+  test("ivfDedupStream: ring eviction re-admits a dup beyond maxPerCell (bounded-state contract)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def basis(i: Int, sign: Float = 1f): Seq[Float] =
+      Seq.tabulate(8)(d => if (d == i) sign else 0f)
+    // one centroid only: every vector assigns to cell 0, and the flood
+    // vectors (basis(0) + 0.5·basis(i)) are mutually far (cos 0.8 <
+    // 0.999) so none suppresses another — deterministic eviction
+    def nearC0(i: Int): Seq[Float] =
+      Seq.tabulate(8)(d => if (d == 0) 1f else if (d == i) 0.5f else 0f)
+    val mem = MemoryStream[StreamOps.EmbRow]
+    val q = StreamOps.ivfDedupStream(
+      spark, mem.toDS(), Seq((0, basis(0))), threshold = 0.999, maxPerCell = 2)
+      .writeStream.format("memory").queryName("ivf_dedup_ring")
+      .outputMode("append").start()
+    mem.addData(StreamOps.EmbRow(1L, basis(0)))
+    q.processAllAvailable()
+    mem.addData(StreamOps.EmbRow(2L, nearC0(1)), StreamOps.EmbRow(3L, nearC0(2)))
+    q.processAllAvailable()
+    mem.addData(StreamOps.EmbRow(100L, basis(0))) // exact copy of evicted vec 1
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("ivf_dedup_ring").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L, 100L),
+      s"evicted vector's copy must be re-admitted after maxPerCell admissions, got $ids")
+  }
+
   test("nearDupStream: fingerprint-identical docs within the watermark are suppressed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
