@@ -425,6 +425,25 @@ object SparkEntry {
         docs.filter(col("doc_id") % 13 === 0))
     }),
 
+    // -------- incremental (delta-vs-history) dedup ---------------------
+    // The production ingest shape: every 7th doc plays today's crawl
+    // increment, the rest the already-ingested corpus — the delta is
+    // deduplicated against the history's STORED projections (digest /
+    // band fingerprints), never against its text.
+    "q43_incremental_dedup" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      Dedup.incrementalDedup(
+        docs.filter(col("doc_id") % 7 === 0),
+        Dedup.digests(docs.filter(col("doc_id") % 7 =!= 0)))
+    }),
+    "q44_incremental_neardup" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      Dedup.incrementalNearDup(
+        docs.filter(col("doc_id") % 7 === 0),
+        Dedup.minhashSignatures(docs.filter(col("doc_id") % 7 =!= 0))
+          .select(col("band"), col("sig")).distinct())
+    }),
+
     // -------- sampling + dedup clustering --------------------------------
     "q24_deterministic_sample" -> ((s, dir) =>
       Sampling.deterministicSample(rd(s, dir, "documents"), 20)
@@ -981,6 +1000,33 @@ r AS (SELECT b.doc_id, b.lang, b.n_tokens,
   FROM base b LEFT JOIN bc USING (doc_id) LEFT JOIN cont ON b.doc_id = cont.doc_id)
 SELECT doc_id, lang, n_tokens, reason,
   CAST(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END AS INT) AS keep FROM r""",
+    // incremental dedup: same split (% 7), same digest, same first-match
+    // precedence and min-doc_id within-delta survivor rule
+    "q43_incremental_dedup" ->
+      """WITH delta AS (SELECT doc_id, md5(text) AS dup_key
+  FROM documents WHERE doc_id % 7 = 0),
+hist AS (SELECT DISTINCT md5(text) AS dup_key
+  FROM documents WHERE doc_id % 7 <> 0),
+firsts AS (SELECT dup_key, min(doc_id) AS first_id FROM delta GROUP BY 1)
+SELECT d.doc_id, d.dup_key,
+  CASE WHEN h.dup_key IS NOT NULL THEN 'exact_dup_history'
+       WHEN d.doc_id > f.first_id THEN 'exact_dup_delta'
+       ELSE 'kept' END AS reason
+FROM delta d JOIN firsts f USING (dup_key)
+LEFT JOIN hist h ON d.dup_key = h.dup_key""",
+    // incremental near-dup: delta band signatures (the q15 minhash CTE)
+    // joined against the history's distinct (band, sig) store; matches
+    // counted per doc. hb is DISTINCT so the left join cannot fan out.
+    "q44_incremental_neardup" ->
+      s"""$minhashCte,
+ds AS (SELECT * FROM sigs WHERE doc_id % 7 = 0),
+hb AS (SELECT DISTINCT band, sig FROM sigs WHERE doc_id % 7 <> 0),
+j AS (SELECT ds.doc_id, CAST(count(hb.band) AS BIGINT) AS n_shared_bands
+  FROM ds LEFT JOIN hb ON ds.band = hb.band AND ds.sig = hb.sig
+  GROUP BY 1)
+SELECT doc_id, n_shared_bands,
+  CAST(CASE WHEN n_shared_bands >= 2 THEN 1 ELSE 0 END AS INT) AS near_dup
+FROM j""",
     "q24_deterministic_sample" ->
       """SELECT doc_id, n_chars FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 20""",

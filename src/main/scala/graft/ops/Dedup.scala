@@ -135,6 +135,81 @@ object Dedup {
       .groupBy(md5(to_binary(col("text"), lit("utf-8"))).as("dup_key"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
 
+  /** Digest projection of a corpus — the fingerprint-store schema the
+    * incremental flow joins against. In production this is a STORED
+    * table maintained at ingest (md5 is 16 bytes/doc — ~1.6 TB of
+    * fingerprints for 10^11 docs, bucketed by `dup_key` so the
+    * delta-vs-history join is co-located); the history's TEXT is never
+    * read again.
+    */
+  def digests(docs: DataFrame): DataFrame =
+    docs
+      .select(md5(to_binary(col("text"), lit("utf-8"))).as("dup_key"))
+      .distinct()
+
+  /** Incremental (delta-vs-history) exact dedup — the shape a
+    * production ingest actually runs: today's crawl increment is
+    * deduplicated against the already-ingested corpus via its digest
+    * store ([[digests]]), not by re-deduplicating the union. Reasons,
+    * first-match precedence:
+    *   - `exact_dup_history`: the digest is already ingested;
+    *   - `exact_dup_delta`: a lower-doc_id row in THIS delta has the
+    *     same digest (within-batch survivor = min doc_id, matching
+    *     [[exact]]'s keep rule);
+    *   - `kept`.
+    *
+    * Scale posture: one groupBy bounded by DELTA size + one equi-join
+    * against the fingerprint store keyed on digest. The history
+    * contributes only 16-byte keys; its text is never read, never
+    * shuffled — re-running [[exact]] over history ∪ delta would
+    * re-shuffle the full corpus for every increment.
+    */
+  def incrementalDedup(delta: DataFrame, historyDigests: DataFrame): DataFrame = {
+    val keyed = delta.select(
+      col("doc_id"),
+      md5(to_binary(col("text"), lit("utf-8"))).as("dup_key"))
+    val firstInDelta = keyed.groupBy(col("dup_key")).agg(min(col("doc_id")).as("first_id"))
+    keyed
+      .join(firstInDelta, Seq("dup_key"))
+      .join(
+        historyDigests.select(col("dup_key")).distinct().withColumn("in_hist", lit(1)),
+        Seq("dup_key"), "left")
+      .select(
+        col("doc_id"),
+        col("dup_key"),
+        when(col("in_hist") === 1, "exact_dup_history")
+          .when(col("doc_id") > col("first_id"), "exact_dup_delta")
+          .otherwise("kept")
+          .as("reason"))
+  }
+
+  /** Incremental NEAR-dup flags against a history band store: a delta
+    * document is flagged when ≥ `minBands` of its MinHash band
+    * signatures already appear in the history's distinct (band, sig)
+    * set (`historyBands` — in production a stored table maintained at
+    * ingest, like [[digests]]; build it as
+    * `minhashSignatures(history).select("band","sig").distinct()`).
+    *
+    * Same join shape as the exact flow: the delta's signatures (8 rows
+    * per doc) equi-join the band store on (band, sig); history text is
+    * never read. A (band, sig) match is the LSH band-collision event,
+    * so `minBands` here means exactly what it does in
+    * [[nearDupClustersCollapsed]]. Documents with fewer tokens than the
+    * shingle width have no signature and are absent from the output
+    * (they cannot be shingle-near-dups by definition).
+    */
+  def incrementalNearDup(
+      delta: DataFrame, historyBands: DataFrame, minBands: Int = 2): DataFrame =
+    minhashSignatures(delta)
+      .join(
+        historyBands.select(col("band"), col("sig")).distinct().withColumn("hit", lit(1)),
+        Seq("band", "sig"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_shared_bands"))
+      .select(
+        col("doc_id"), col("n_shared_bands"),
+        when(col("n_shared_bands") >= minBands, 1).otherwise(0).as("near_dup"))
+
   /** Word k-gram shingles of `text` as a distinct array. */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = TextOps.tokens(text)

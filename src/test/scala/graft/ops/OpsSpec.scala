@@ -26,6 +26,44 @@ class OpsSpec extends AnyFunSuite {
     assert(r == Set((2L, 1L), (1L, 3L))) // (n_docs, keep_id)
   }
 
+  test("incremental dedup: history dup, within-delta dup, and kept — first-match reasons") {
+    val history = docs((10L, "already ingested"), (11L, "other history"))
+    val delta = docs(
+      (20L, "already ingested"), // digest in history
+      (21L, "fresh content"), // first of its digest in the delta: kept
+      (22L, "fresh content"), // within-delta dup of 21
+      (23L, "brand new")) // kept
+    val r = Dedup.incrementalDedup(delta, Dedup.digests(history))
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r == Map(
+      20L -> "exact_dup_history",
+      21L -> "kept",
+      22L -> "exact_dup_delta",
+      23L -> "kept"), s"got $r")
+  }
+
+  test("incremental dedup: history precedence beats within-delta order") {
+    // a digest present in history AND duplicated inside the delta must
+    // read exact_dup_history on EVERY delta row (the store is
+    // authoritative; within-delta survivor selection never applies)
+    val history = docs((1L, "both places"))
+    val delta = docs((5L, "both places"), (6L, "both places"))
+    val r = Dedup.incrementalDedup(delta, Dedup.digests(history))
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r == Map(5L -> "exact_dup_history", 6L -> "exact_dup_history"), s"got $r")
+  }
+
+  test("incremental near-dup: band matches vs the history store flag delta docs") {
+    val history = docs((10L, "w1 w2 w3 w4 w5 w6 w7 w8"))
+    val delta = docs(
+      (20L, "w1 w2 w3 w4 w5 w6 w7 w8"), // identical: all 8 bands match
+      (21L, "x1 x2 x3 x4 x5 x6 x7 x8")) // disjoint shingles: 0 bands
+    val store = Dedup.minhashSignatures(history).select("band", "sig").distinct()
+    val r = Dedup.incrementalNearDup(delta, store)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    assert(r == Set((20L, 8L, 1), (21L, 0L, 0)), s"got $r")
+  }
+
   test("identical docs share all 8 LSH bands; disjoint docs none") {
     val d = docs(
       (1L, "w1 w2 w3 w4 w5 w6"),
