@@ -114,6 +114,21 @@ object Bench {
     "kg_ann_recall", "kg_ann_clustered_recall", "kg_ann_ivf_all_recall"
   )
 
+  /** Excluded from the RECURRING sf1 ledger after their behavior was
+    * pinned (round 6, BENCH/BASELINE.md): hyperplane-LSH top-k on the
+    * clusterBoost corpus is degenerate BY CONSTRUCTION — sign-bit
+    * buckets are angularly atomic, so buckets collapse to whole
+    * clusters and the per-bucket self-join is Θ(Σ cluster²) (measured
+    * 131-190 s per run at 20k vectors, ~9 min of every full ledger run
+    * counting warm-ups). The A/B against their IVF twins
+    * (kg_ann_ivf_all / kg_ann_ivf_map — which stay timed) is recorded
+    * in the ledger; re-measuring a structural fact each round buys
+    * nothing. They remain fully oracle-gated in Verify at every sf.
+    */
+  private[graft] val degenerateOnClusteredQueries = Set(
+    "kg_ann_clustered", "kg_ann_cluster_map"
+  )
+
   /** sf1 mode times the ENTIRE sf-dir-driven catalog (every
     * SparkEntry.queries key minus [[fixedCorpusQueries]]) so the sf1
     * ledger has a row for each catalog surface; sf0.1 mode keeps the
@@ -123,6 +138,7 @@ object Bench {
     SparkEntry.queries.keys.toSeq
       .filterNot(fixedCorpusQueries)
       .filterNot(quadraticVerifierQueries)
+      .filterNot(degenerateOnClusteredQueries)
       .sorted
 
   /** sf1 soak dir; regenerated deterministically by tools/gen_sf1.py

@@ -46,10 +46,12 @@ class DocsSyncSpec extends AnyFunSuite {
     // bench or sits in one of the two documented exclusion sets
     // (fixed-size reference-corpus surfaces; bounded Θ(n²) recall
     // verifiers whose exact side scans the full table)
-    val covered = Bench.sf1Catalog.toSet ++ Bench.fixedCorpusQueries ++ Bench.quadraticVerifierQueries
+    val covered = Bench.sf1Catalog.toSet ++ Bench.fixedCorpusQueries ++
+      Bench.quadraticVerifierQueries ++ Bench.degenerateOnClusteredQueries
     assert(covered == SparkEntry.queries.keySet,
       s"unaccounted catalog keys: ${(SparkEntry.queries.keySet -- covered) ++ (covered -- SparkEntry.queries.keySet)}")
-    assert(Bench.sf1Catalog.toSet.intersect(Bench.fixedCorpusQueries ++ Bench.quadraticVerifierQueries).isEmpty,
+    assert(Bench.sf1Catalog.toSet.intersect(Bench.fixedCorpusQueries ++
+      Bench.quadraticVerifierQueries ++ Bench.degenerateOnClusteredQueries).isEmpty,
       "a key cannot be both timed and excluded")
   }
 
