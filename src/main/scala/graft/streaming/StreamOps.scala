@@ -221,6 +221,61 @@ object StreamOps {
         })
   }
 
+  final case class IncrDedupOut(doc_id: Long, dup_key: String, reason: String)
+
+  /** Streaming twin of [[graft.ops.Dedup.incrementalDedup]] — CONTINUOUS
+    * ingest against the corpus fingerprint store, with the store living
+    * IN the streaming state store: `historyDigests` (the batch digest
+    * table, [[graft.ops.Dedup.digests]]) is preloaded via
+    * `flatMapGroupsWithState`'s `initialState`, so the checkpointed
+    * state IS the fingerprint store — one boolean per distinct digest
+    * (16-byte md5 key), exactly the table the batch op joins against,
+    * now fault-tolerant and exactly-once via the checkpoint like every
+    * other stateful op here.
+    *
+    * Reason vocabulary matches the batch op: a digest present at
+    * micro-batch start (preloaded history OR admitted in an earlier
+    * batch — by then its survivor IS ingested corpus) reads
+    * `exact_dup_history`; within a micro-batch the min-doc_id row of a
+    * new digest is `kept` and the rest `exact_dup_delta` — one
+    * micro-batch over a delta equals the batch op row-for-row.
+    *
+    * Scale posture: per-event work is O(1) (one state lookup keyed by
+    * digest — Spark shuffles arrivals to their key's state partition);
+    * state grows with DISTINCT corpus digests, the same 16-bytes/doc
+    * budget the batch fingerprint store already pays, and never with
+    * duplicate mass. No watermark: corpus membership does not expire.
+    */
+  def incrementalDedupStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      historyDigests: DataFrame): Dataset[IncrDedupOut] = {
+    import spark.implicits._
+    val init = historyDigests
+      .select(col("dup_key")).as[String]
+      .groupByKey(identity)
+      .mapValues(_ => true)
+    docs
+      .select(
+        col("doc_id").cast("long"),
+        md5(to_binary(col("text"), lit("utf-8"))).as("dup_key"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout, init)(
+        (key: String, it: Iterator[(Long, String)], state: GroupState[Boolean]) => {
+          val known = state.exists
+          val out = it.toSeq.sortBy(_._1).zipWithIndex.map { case ((id, _), i) =>
+            IncrDedupOut(
+              id, key,
+              if (known) "exact_dup_history"
+              else if (i == 0) "kept"
+              else "exact_dup_delta")
+          }
+          if (!known) state.update(true)
+          out.iterator
+        })
+  }
+
   final case class DecontOut(doc_id: Long, n_hit_shingles: Long, contaminated: Int)
 
   /** Collect a benchmark corpus's distinct k-token shingles for

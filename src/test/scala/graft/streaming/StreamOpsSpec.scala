@@ -228,6 +228,61 @@ class StreamOpsSpec extends AnyFunSuite {
       s"evicted vector's copy must be re-admitted after maxPerCell admissions, got $ids")
   }
 
+  test("incrementalDedupStream: preloaded fingerprint store + cross-batch admission") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // history store preloaded as initial state
+    val history = Seq((100L, "already ingested"), (101L, "old news")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.incrementalDedupStream(
+      spark, mem.toDF().toDF("doc_id", "text"), graft.ops.Dedup.digests(history))
+      .writeStream.format("memory").queryName("incr_dedup_stream")
+      .outputMode("append").start()
+    // batch 1: a history dup, a fresh pair (kept + within-batch dup), a unique
+    mem.addData(
+      (1L, "already ingested"),
+      (2L, "fresh content"), (3L, "fresh content"),
+      (4L, "unique doc"))
+    q.processAllAvailable()
+    // batch 2: dup of the batch-1 admit (its survivor IS ingested now) and
+    // another history dup
+    mem.addData((5L, "fresh content"), (6L, "old news"))
+    q.processAllAvailable()
+    q.stop()
+    val r = spark.table("incr_dedup_stream").collect()
+      .map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r == Map(
+      1L -> "exact_dup_history",
+      2L -> "kept",
+      3L -> "exact_dup_delta",
+      4L -> "kept",
+      5L -> "exact_dup_history",
+      6L -> "exact_dup_history"), s"got $r")
+  }
+
+  test("incrementalDedupStream: one micro-batch equals the batch op row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val history = Seq((50L, "h one"), (51L, "h two"), (52L, "h one")).toDF("doc_id", "text")
+    val delta = Seq(
+      (1L, "h one"), (2L, "d new"), (3L, "d new"), (4L, "h two"),
+      (5L, "solo"), (6L, "d new"))
+    val batch = graft.ops.Dedup.incrementalDedup(
+      delta.toDF("doc_id", "text"), graft.ops.Dedup.digests(history))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getString(2))).toSet
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.incrementalDedupStream(
+      spark, mem.toDF().toDF("doc_id", "text"), graft.ops.Dedup.digests(history))
+      .writeStream.format("memory").queryName("incr_dedup_eq")
+      .outputMode("append").start()
+    mem.addData(delta: _*)
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("incr_dedup_eq").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2))).toSet
+    assert(stream == batch, s"stream $stream != batch $batch")
+  }
+
   test("nearDupStream: fingerprint-identical docs within the watermark are suppressed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
