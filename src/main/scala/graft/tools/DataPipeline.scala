@@ -27,6 +27,13 @@ import org.apache.spark.sql.functions._
 object DataPipeline {
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/tmp/graft-corpus")
+    // the first positional arg is a WRITE path — refuse the read-only
+    // input trees outright (a swapped outDir/sfDir invocation would
+    // otherwise drop lang= partition dirs into the source dataset)
+    require(
+      !outDir.startsWith("/root/testdata") && !outDir.startsWith("/root/reference"),
+      s"outDir '$outDir' points into a read-only input tree; pass the OUTPUT dir first " +
+        "(the corpus dir comes from SPARK_GRAFT_SF_DIR)")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
