@@ -177,28 +177,38 @@ object Bench {
     val docsPerSec = kgDocs / kgSec
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashSet[String]()
     results("kg_pipeline") = kgSec
     (if (sf1Mode) sf1Catalog else headlineOps).foreach { name =>
       val fn = SparkEntry.queries(name)
       // untimed warm-up (codegen + JIT, like a long-running cluster's
-      // steady state), then min of 2 timed runs to damp machine noise
+      // steady state), then min of 2 timed runs to damp machine noise.
+      // A query that THROWS is recorded in `errors` and omitted from
+      // `results` (and the total) — a fast-fail must not land as a
+      // near-zero timing row the ledger diff reads as a speedup; the
+      // process exits nonzero so the regression gate sees it too.
       try fn(spark, sfDir).count()
       catch { case e: Throwable => System.err.println(s"[bench] $name warm-up: ${e.getMessage}") }
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            errors += name
+            None
+        }
       }
-      results(name) = times.min
+      if (times.nonEmpty && !errors.contains(name)) results(name) = times.min
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.sum
     // kg_pipeline_first rides outside "queries" (and the total) so host
     // contention is visible without skewing round-over-round totals
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_docs":$kgDocs,"kg_docs_per_sec":$docsPerSec%.1f,"kg_pipeline_first":$kgFirstSec%.3f,"cpus":$cpus}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","kg_docs":$kgDocs,"kg_docs_per_sec":$docsPerSec%.1f,"kg_pipeline_first":$kgFirstSec%.3f,"cpus":$cpus}"""
     println(json)
     // belt-and-braces for the driver: the same JSON at a stable path, in
     // case the stdout line is decorated or truncated in transit
@@ -207,5 +217,9 @@ object Bench {
     java.nio.file.Files.writeString(
       benchDir.resolve(if (sf1Mode) "last_bench_sf1.json" else "last_bench.json"), json + "\n")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] RED: ${errors.size} queries failed: ${errors.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

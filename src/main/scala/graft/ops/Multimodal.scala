@@ -38,9 +38,15 @@ object Multimodal {
 
   /** Parsed container-header facts for one image payload. `width`/
     * `height` are -1 when `ok` is false; `err` names the first violated
-    * structural invariant (empty when ok).
+    * structural invariant (empty when ok). `dimOffset` is the byte
+    * offset of the dimension fields THE PARSER FOUND (PNG: IHDR
+    * width+height, 8 bytes; JPEG: SOF height+width, 4 bytes; -1 when
+    * not ok) — callers that re-read the raw dim bytes must use it
+    * instead of assuming any fixed layout, so the decode stays
+    * payload-generic.
     */
-  final case class ImageHeader(format: String, width: Int, height: Int, ok: Boolean, err: String)
+  final case class ImageHeader(
+      format: String, width: Int, height: Int, ok: Boolean, err: String, dimOffset: Int = -1)
 
   private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
@@ -70,7 +76,7 @@ object Multimodal {
       val w = be32(bytes, 16)
       val h = be32(bytes, 20)
       if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return bad("png", "non-positive dims")
-      ImageHeader("png", w.toInt, h.toInt, ok = true, "")
+      ImageHeader("png", w.toInt, h.toInt, ok = true, "", dimOffset = 16)
     } else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
       // JPEG: SOI, then marker segments; SOFn (C0-C3) carries dims.
       var i = 2
@@ -85,7 +91,7 @@ object Multimodal {
           val h = be16(bytes, j + 4)
           val w = be16(bytes, j + 6)
           if (w <= 0 || h <= 0) return bad("jpeg", "non-positive dims")
-          return ImageHeader("jpeg", w, h, ok = true, "")
+          return ImageHeader("jpeg", w, h, ok = true, "", dimOffset = j + 4)
         }
         if (m == 0xd9 || m == 0xda) return bad("jpeg", "reached EOI/SOS without SOF")
         if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i = j + 1 // standalone markers: no length
@@ -193,9 +199,12 @@ object Multimodal {
   /** REAL header decode over binary payloads: parse PNG IHDR / scan JPEG
     * markers to SOF inside `mapPartitions` (one CRC32 instance per
     * partition — the per-partition-codec-init shape a full pixel decoder
-    * drops into). `dims_hex` is a raw fixed-offset byte read of the dim
-    * fields (independent of the parser) so the DuckDB oracle can replay
-    * it against the generating formulas.
+    * drops into). `dims_hex` is a raw byte read of the dim fields at the
+    * offset THE PARSER FOUND (`ImageHeader.dimOffset`) — payload-generic,
+    * no fixture-layout assumption; on the synthetic corpus the parser's
+    * offset coincides with the doc_id formulas (PNG 16, JPEG 29+extra),
+    * which is what the DuckDB oracle replays. Unparseable payloads get an
+    * empty `dims_hex` (header_ok already flags them).
     */
   def decodeHeaders(spark: SparkSession, media: Dataset[MediaRow]): Dataset[ImageFeature] = {
     import spark.implicits._
@@ -203,13 +212,13 @@ object Multimodal {
       val crc = new java.util.zip.CRC32() // per-partition "codec" init
       it.map { m =>
         val h = parseImageHeader(m.payload, crc)
-        val (dimOff, dimLen) =
-          if (h.format == "png") (16, 8) // IHDR width+height, 4 BE bytes each
-          else (29 + synthExtra(m.doc_id), 4) // SOF0 height+width, 2 BE bytes each
-        val end = math.min(m.payload.length, dimOff + dimLen)
+        val dimLen = if (h.format == "png") 8 else 4 // 2×BE32 | 2×BE16
         val hex = new StringBuilder(dimLen * 2)
-        var j = dimOff
-        while (j < end) { hex.append(f"${m.payload(j) & 0xff}%02X"); j += 1 }
+        if (h.ok) {
+          val end = math.min(m.payload.length, h.dimOffset + dimLen)
+          var j = h.dimOffset
+          while (j < end) { hex.append(f"${m.payload(j) & 0xff}%02X"); j += 1 }
+        }
         ImageFeature(m.doc_id, h.format, h.width.toLong, h.height.toLong,
           m.payload.length.toLong, h.ok, hex.toString)
       }

@@ -228,7 +228,15 @@ object TextOps {
     */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, k: Int = 5,
                     maxBroadcastShingles: Int = 5000000): DataFrame = {
-    val benchShingles = Dedup.shingleRows(benchmark, k).select(col("shingle")).distinct()
+    // localCheckpoint (not cache: blocks are GC-released, no unpersist
+    // point exists here) so the benchmark's distinct-shingle aggregation
+    // runs ONCE — without it the broadcast-fit probe below re-ran the
+    // whole aggregation and the join then computed it a SECOND time,
+    // roughly doubling benchmark-side work on the common path. Both join
+    // branches need the full set anyway, so materializing it is not
+    // wasted work on either path; the op becomes eager at call time.
+    val benchShingles =
+      Dedup.shingleRows(benchmark, k).select(col("shingle")).distinct().localCheckpoint()
     val fitsBroadcast =
       benchShingles.limit(maxBroadcastShingles + 1).count() <= maxBroadcastShingles
     val benchSide =

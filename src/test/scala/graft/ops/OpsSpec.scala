@@ -535,7 +535,7 @@ class OpsSpec extends AnyFunSuite {
   test("image header parse: PNG IHDR dims + CRC verification") {
     val png = Multimodal.syntheticPng(640, 480, extra = 5)
     val h = Multimodal.parseImageHeader(png)
-    assert(h == Multimodal.ImageHeader("png", 640, 480, ok = true, ""))
+    assert(h == Multimodal.ImageHeader("png", 640, 480, ok = true, "", dimOffset = 16))
     // flip one IHDR data byte -> CRC must fail loud
     val corrupt = png.clone(); corrupt(17) = (corrupt(17) ^ 1).toByte
     val bad = Multimodal.parseImageHeader(corrupt)
@@ -548,14 +548,17 @@ class OpsSpec extends AnyFunSuite {
 
   test("image header parse: JPEG marker scan (baseline, progressive, RST, missing SOF)") {
     val jpg = Multimodal.syntheticJpeg(1920, 1080, extra = 31)
-    assert(Multimodal.parseImageHeader(jpg) == Multimodal.ImageHeader("jpeg", 1920, 1080, ok = true, ""))
+    assert(Multimodal.parseImageHeader(jpg) ==
+      Multimodal.ImageHeader("jpeg", 1920, 1080, ok = true, "", dimOffset = 29 + 31))
     // progressive (SOF2) + a standalone RST marker before it must still parse
     val prog = jpg.clone()
     val sofAt = 29 + 31 - 5 // start of the FF C0 marker (offset 29+extra is the dim field, marker is 5 before)
     prog(sofAt + 1) = 0xc2.toByte
     val withRst = prog.take(2) ++ Array(0xff.toByte, 0xd0.toByte) ++ prog.drop(2)
     val h = Multimodal.parseImageHeader(withRst)
-    assert(h == Multimodal.ImageHeader("jpeg", 1920, 1080, ok = true, ""))
+    // the injected RST shifts every later offset by 2: the parser must
+    // report the offset it actually FOUND, not a fixed formula
+    assert(h == Multimodal.ImageHeader("jpeg", 1920, 1080, ok = true, "", dimOffset = 29 + 31 + 2))
     // SOI followed directly by EOI: no SOF anywhere
     val noSof = Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)
     val miss = Multimodal.parseImageHeader(noSof)

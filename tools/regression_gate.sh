@@ -44,8 +44,19 @@ else
 
   if [[ $SKIP_BENCH -eq 0 ]]; then
     echo "[gate] 3/3 sf0.1 bench (graft.Bench)"
-    SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
-      sbt -batch "runMain graft.Bench" 2>&1 | tail -2 > "$OUT/bench.log" || true
+    # stale-state guard: the judged metrics must come from THIS run, so
+    # remove the repo-side artifact up front (the python below reads the
+    # JSON line from $OUT/bench.log, never from repo state) and FAIL the
+    # gate on a nonzero bench exit instead of swallowing it — a crashed
+    # bench scored green against a leftover file is exactly the failure
+    # mode this gate exists to catch.
+    rm -f BENCH/last_bench.json
+    if ! SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
+        sbt -batch "runMain graft.Bench" > "$OUT/bench.log" 2>&1; then
+      tail -5 "$OUT/bench.log" >&2
+      echo "[gate] RED: bench arm exited nonzero (see $OUT/bench.log)" >&2
+      exit 1
+    fi
   else
     echo "[gate] 3/3 bench skipped (--skip-bench)"
   fi
@@ -80,13 +91,23 @@ else:
     got, want, tol = float(m.group(3)), ledger["crf_test_f1"], ledger["quality_tol"]
     check("crf_test_f1", got, abs(got - want) <= tol, f"got {got} want {want} ±{tol}")
 
-# 3) bench band (BENCH/last_bench.json is rewritten by the run)
+# 3) bench band — parsed from THIS run's (or the reused workdir's) log,
+#    never from repo state, so stale BENCH/last_bench.json can't score
+#    a crashed run green; works identically under GATE_REUSE.
 if not skip_bench:
-    b = json.load(open("BENCH/last_bench.json"))
-    tot, lo, hi = b["value"], ledger["bench_total_lo"], ledger["bench_total_hi"]
-    check("bench_total", tot, lo <= tot <= hi, f"got {tot}s band [{lo},{hi}]")
-    dps, floor = b["kg_docs_per_sec"], ledger["kg_docs_per_sec_min"]
-    check("kg_docs_per_sec", dps, dps >= floor, f"got {dps} floor {floor}")
+    import os
+    lines = [] if not os.path.exists(f"{out}/bench.log") else \
+        [l for l in open(f"{out}/bench.log") if l.startswith('{"metric"')]
+    if not lines:
+        check("bench_json", None, False, "no bench JSON line in bench.log")
+    else:
+        b = json.loads(lines[-1])
+        if b.get("errors"):
+            check("bench_errors", b["errors"], False, f"failed queries: {b['errors']}")
+        tot, lo, hi = b["value"], ledger["bench_total_lo"], ledger["bench_total_hi"]
+        check("bench_total", tot, lo <= tot <= hi, f"got {tot}s band [{lo},{hi}]")
+        dps, floor = b["kg_docs_per_sec"], ledger["kg_docs_per_sec_min"]
+        check("kg_docs_per_sec", dps, dps >= floor, f"got {dps} floor {floor}")
 
 if fails:
     print(f"[gate] RED: drift in {', '.join(fails)}", file=sys.stderr)
