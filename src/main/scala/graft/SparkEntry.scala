@@ -50,6 +50,29 @@ object SparkEntry {
       ).as("text"))
   }
 
+  /** Restructure the single-line synthetic corpus into paragraphs so
+    * q45 has real paragraph granularity to dedup: every run of
+    * `chunk` = 25 whitespace tokens becomes one paragraph, joined by
+    * "\n\n". Deterministic and mirrored index-for-index by the q45
+    * oracle (which chunks the token list directly instead of
+    * round-tripping through the separator — same paragraphs either
+    * way, since the source text contains no newlines). Cross-doc
+    * duplicate paragraphs arise from the corpus's exact-dup documents
+    * and from colliding sub-25-token tails.
+    */
+  private[graft] def withSyntheticParagraphs(docs: DataFrame, chunk: Int = 25): DataFrame = {
+    val toks = split(col("text"), " ", -1)
+    val nChunks =
+      greatest(lit(1), floor((size(toks) + lit(chunk - 1)) / lit(chunk)).cast("int"))
+    docs.select(
+      col("doc_id"),
+      array_join(
+        transform(
+          sequence(lit(0), nChunks - 1),
+          i => array_join(slice(toks, i * chunk + 1, lit(chunk)), " ")),
+        "\n\n").as("text"))
+  }
+
   /** One-row recall measurement of an ANN result against the exact
     * top-k: (possible, hits, recall). Shared by kg_ann_recall and
     * kg_ann_ivf_recall so the two gates can never drift; the DuckDB
@@ -443,6 +466,11 @@ object SparkEntry {
         Dedup.minhashSignatures(docs.filter(col("doc_id") % 7 =!= 0))
           .select(col("band"), col("sig")).distinct())
     }),
+
+    // paragraph-granularity dedup over the chunked corpus (the
+    // RefinedWeb/Dolma boilerplate scrub — see withSyntheticParagraphs)
+    "q45_paragraph_dedup" -> ((s, dir) =>
+      Dedup.paragraphDedup(withSyntheticParagraphs(rd(s, dir, "documents")))),
 
     // -------- sampling + dedup clustering --------------------------------
     "q24_deterministic_sample" -> ((s, dir) =>
@@ -1027,6 +1055,27 @@ j AS (SELECT ds.doc_id, CAST(count(hb.band) AS BIGINT) AS n_shared_bands
 SELECT doc_id, n_shared_bands,
   CAST(CASE WHEN n_shared_bands >= 2 THEN 1 ELSE 0 END AS INT) AS near_dup
 FROM j""",
+    // paragraph dedup: chunk the token list directly (25-token
+    // paragraphs — identical to withSyntheticParagraphs + re-split,
+    // since the source text has no newlines), elect the global first
+    // occurrence of each paragraph via row_number over (doc_id,
+    // para_idx), and reassemble survivors in original order.
+    "q45_paragraph_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+pi AS (SELECT doc_id, toks,
+  unnest(generate_series(0, CAST(greatest(1, (len(toks) + 24) // 25) AS INT) - 1)) AS para_idx
+  FROM t),
+paras AS (SELECT doc_id, para_idx,
+  array_to_string(list_slice(toks, para_idx * 25 + 1, para_idx * 25 + 25), ' ') AS para
+  FROM pi),
+flt AS (SELECT doc_id, para_idx, para,
+  row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) AS rn FROM paras)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_paras,
+  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  coalesce(string_agg(CASE WHEN rn = 1 THEN para END, E'\n\n' ORDER BY para_idx), '')
+    AS text_dedup
+FROM flt GROUP BY doc_id""",
     "q24_deterministic_sample" ->
       """SELECT doc_id, n_chars FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 20""",

@@ -210,6 +210,59 @@ object Dedup {
         col("doc_id"), col("n_shared_bands"),
         when(col("n_shared_bands") >= minBands, 1).otherwise(0).as("near_dup"))
 
+  /** Paragraph-granularity dedup (the RefinedWeb/Dolma "repeated
+    * boilerplate" scrub): documents are split on `sep`, every paragraph
+    * is deduplicated ACROSS the whole corpus (survivor = the globally
+    * first occurrence, i.e. minimum (doc_id, para_idx)), and each
+    * document is reassembled from its surviving paragraphs in original
+    * order. Unlike the doc-level ops above this removes a navigation
+    * bar / license header / cookie banner repeated across thousands of
+    * otherwise-distinct pages — the dedup granularity document-level
+    * digests cannot see. Intra-document repeats collapse too (same
+    * rule: only the first occurrence survives).
+    *
+    * Output: one row per input doc —
+    * (doc_id, n_paras, n_kept, text_dedup); a doc whose every paragraph
+    * appeared earlier comes back with n_kept = 0 and empty text (the
+    * caller's filter policy decides whether to drop it).
+    *
+    * Scale posture: paragraphs are keyed by md5 digest, so the
+    * keeper-election aggregate shuffles (digest, doc_id, para_idx)
+    * triples — bounded by paragraph COUNT, with map-side min-combine
+    * collapsing each partition's repeats to one row per digest — and
+    * the survivor join is an equi-join on the digest (broadcastable
+    * only at toy scale, shuffle-hash at corpus scale, never all-pairs).
+    * Paragraph TEXT is shuffled exactly twice: once into the digest
+    * join, once regrouping survivors by doc for reassembly — the same
+    * bound as rewriting the corpus, which any paragraph-rewriting op
+    * pays by definition.
+    */
+  def paragraphDedup(docs: DataFrame, sep: String = "\n\n"): DataFrame = {
+    val paras = docs.select(
+      col("doc_id"),
+      posexplode(split(col("text"), java.util.regex.Pattern.quote(sep), -1))
+        .as(Seq("para_idx", "para")))
+      .withColumn("dup_key", md5(to_binary(col("para"), lit("utf-8"))))
+    val keepers = paras
+      .groupBy(col("dup_key"))
+      .agg(min(struct(col("doc_id"), col("para_idx"))).as("keep"))
+    paras
+      .join(keepers, Seq("dup_key"))
+      .withColumn(
+        "kept",
+        (col("doc_id") === col("keep.doc_id") && col("para_idx") === col("keep.para_idx"))
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(col("kept")).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("kept") === 1, struct(col("para_idx"), col("para"))))),
+            x => x.getField("para")),
+          sep).as("text_dedup"))
+  }
+
   /** Word k-gram shingles of `text` as a distinct array. */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = TextOps.tokens(text)

@@ -53,6 +53,55 @@ class OpsSpec extends AnyFunSuite {
     assert(r == Map(5L -> "exact_dup_history", 6L -> "exact_dup_history"), s"got $r")
   }
 
+  test("paragraph dedup: global first occurrence survives, docs reassemble in order") {
+    val d = docs(
+      (1L, "intro\n\nshared boilerplate\n\nbody one"),
+      (2L, "shared boilerplate\n\nbody two"), // boilerplate already seen in doc 1
+      (3L, "dup\n\ndup\n\nunique"), // intra-doc repeat: keep first only
+      (4L, "shared boilerplate")) // its ONLY paragraph seen before -> empty doc
+    val r = Dedup.paragraphDedup(d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r == Map(
+      1L -> ((3L, 3L, "intro\n\nshared boilerplate\n\nbody one")),
+      2L -> ((2L, 1L, "body two")),
+      3L -> ((3L, 2L, "dup\n\nunique")),
+      4L -> ((1L, 0L, ""))), s"got $r")
+  }
+
+  test("paragraph dedup property: identity on dup-free corpus; every distinct paragraph survives exactly once") {
+    // deterministic pseudo-random corpus with planted cross-doc repeats
+    val rnd = new scala.util.Random(7)
+    val boiler = Seq("nav home about", "copyright footer", "cookie banner text")
+    val corpus = (0L until 60L).map { id =>
+      val paras = (0 until 1 + rnd.nextInt(4)).map { j =>
+        if (rnd.nextInt(3) == 0) boiler(rnd.nextInt(boiler.size))
+        else s"p$id-$j ${rnd.nextInt(5)}"
+      }
+      (id, paras.mkString("\n\n"))
+    }
+    val out = Dedup.paragraphDedup(docs(corpus: _*)).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    // replay the contract in plain Scala
+    val split = corpus.map { case (id, t) => id -> t.split("\n\n", -1).toSeq }.toMap
+    val firstOwner = split.toSeq
+      .flatMap { case (id, ps) => ps.zipWithIndex.map { case (p, i) => (p, (id, i)) } }
+      .groupBy(_._1).map { case (p, occ) => p -> occ.map(_._2).min }
+    corpus.foreach { case (id, _) =>
+      val ps = split(id)
+      val kept = ps.zipWithIndex.filter { case (p, i) => firstOwner(p) == ((id, i)) }
+      val (nParas, nKept, text) = out(id)
+      assert(nParas == ps.size && nKept == kept.size, s"doc $id counts")
+      assert(text == kept.map(_._1).mkString("\n\n"), s"doc $id text")
+    }
+    // survivor count across the corpus == distinct paragraph count
+    assert(out.values.map(_._2).sum == firstOwner.size)
+    // dup-free corpus: reassembly is the identity
+    val free = (0L until 30L).map(id => (id, s"a$id\n\nb$id\n\nc$id"))
+    val idOut = Dedup.paragraphDedup(docs(free: _*)).collect()
+      .map(x => x.getLong(0) -> x.getString(3)).toMap
+    free.foreach { case (id, t) => assert(idOut(id) == t, s"identity broke for $id") }
+  }
+
   test("incremental near-dup: band matches vs the history store flag delta docs") {
     val history = docs((10L, "w1 w2 w3 w4 w5 w6 w7 w8"))
     val delta = docs(
