@@ -471,6 +471,11 @@ object SparkEntry {
     // RefinedWeb/Dolma boilerplate scrub — see withSyntheticParagraphs)
     "q45_paragraph_dedup" -> ((s, dir) =>
       Dedup.paragraphDedup(withSyntheticParagraphs(rd(s, dir, "documents")))),
+    // sequence packing: the concat-and-chunk plan into 512-token shards
+    // (bucketed scale form; spec-gated equal to the single-window
+    // definition the oracle replays)
+    "q46_sequence_pack" -> ((s, dir) =>
+      Packing.packPlanBucketed(rd(s, dir, "documents"), seqLen = 512)),
 
     // -------- sampling + dedup clustering --------------------------------
     "q24_deterministic_sample" -> ((s, dir) =>
@@ -1076,6 +1081,24 @@ SELECT doc_id,
   coalesce(string_agg(CASE WHEN rn = 1 THEN para END, E'\n\n' ORDER BY para_idx), '')
     AS text_dedup
 FROM flt GROUP BY doc_id""",
+    // sequence packing: exclusive-prefix token offsets in (md5, doc_id)
+    // order; each doc explodes into every 512-token shard its range
+    // overlaps, with the span arithmetic replayed in BIGINT.
+    "q46_sequence_pack" ->
+      """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+  md5(CAST(doc_id AS VARCHAR)) AS ord FROM documents),
+c AS (SELECT doc_id, n,
+  CAST(sum(n) OVER (ORDER BY ord, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM d),
+s AS (SELECT doc_id, cum - n AS strt, cum FROM c),
+e AS (SELECT doc_id, strt, cum,
+  unnest(generate_series(strt // 512, (cum - 1) // 512)) AS shard_id FROM s)
+SELECT CAST(shard_id AS BIGINT) AS shard_id, doc_id,
+  CAST(greatest(strt, shard_id * 512) - shard_id * 512 AS BIGINT) AS start_in_shard,
+  CAST(least(cum, (shard_id + 1) * 512) - greatest(strt, shard_id * 512) AS BIGINT)
+    AS span_tokens,
+  CAST(greatest(strt, shard_id * 512) - strt AS BIGINT) AS doc_offset
+FROM e""",
     "q24_deterministic_sample" ->
       """SELECT doc_id, n_chars FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 20""",

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.ops.{Dedup, Sampling, TextOps}
+import graft.ops.{Dedup, Packing, Sampling, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
   *
   *   filter policy (q42) → PII scrub (q41) → near-dup collapse (q37/
   *   q26) → token-budget domain mix (q40) → partitioned corpus write
+  *   → sequence packing (q46) + token-shard write
   *
   * and one JSON line of per-stage counts, including the policy's
   * drop-reason histogram. The point is composability: every stage
@@ -95,6 +96,23 @@ object DataPipeline {
         .agg(count(lit(1)), sum(size(split(col("text"), " ")))).head()
       (r.getLong(0), r.getLong(1))
     }
+    // 6. sequence packing: the mixed corpus concat-and-chunked into
+    // 512-token shards; the shard write is partitioned by shard range
+    // (shard_id div 64 — one directory per 64 shards keeps the
+    // partition count bounded while the plan stays per-shard exact)
+    val plan = Packing.packPlanBucketed(corpusOut, seqLen = 512)
+    val shards = Packing.packedSpans(plan, corpusOut)
+      .withColumn("shard_dir", expr("shard_id div 64"))
+    shards.write
+      .partitionBy("shard_dir")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(s"$outDir-shards")
+    val (nShards, nSpans) = {
+      val r = shards.agg(countDistinct(col("shard_id")), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
     val sec = (System.nanoTime() - t0) / 1e9
     val reasonJson = reasons.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
@@ -102,7 +120,8 @@ object DataPipeline {
       f"""{"docs_in":${corpus.count()},"bench_docs":${bench.count()},""" +
         f""""kept":${reasons.getOrElse("kept", 0L)},"reasons":$reasonJson,""" +
         f""""pii_docs":$piiDocs,"dedup_reps":${deduped.count()},""" +
-        f""""mixed_docs":$nMixed,"mixed_tokens":$nTokens,"sec":$sec%.3f,"out":"$outDir"}""")
+        f""""mixed_docs":$nMixed,"mixed_tokens":$nTokens,""" +
+        f""""packed_shards":$nShards,"packed_spans":$nSpans,"sec":$sec%.3f,"out":"$outDir"}""")
     spark.stop()
   }
 }
