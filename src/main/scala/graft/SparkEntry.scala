@@ -467,6 +467,33 @@ object SparkEntry {
           .select(col("band"), col("sig")).distinct())
     }),
 
+    // incremental EMBEDDING dedup — the trio's third leg (q43 digests,
+    // q44 bands, this cosine-vs-IVF-cells): every 5th vector plays the
+    // delta, the rest the ingested history whose stored IVF index
+    // (ivfCentroids on the history itself) the delta probes. Same 0.45
+    // threshold as the q18 exact verifier. The oracle replays the cell
+    // join + cosine scoring + per-vector aggregation in SQL over the
+    // kg_ann_ivf_delta dump (probes/assignments — Spark-murmur3
+    // centroid sample, hence not directly SQL-expressible) plus the raw
+    // embeddings table.
+    "q47_incremental_ann" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val delta = emb.filter(col("vec_id") % 5 === 0)
+      val hist = emb.filter(col("vec_id") % 5 =!= 0)
+      val cents = Similarity.ivfCentroids(hist, Similarity.ivfAutoCells(hist.count()))
+      Similarity.incrementalAnnDedup(delta, hist, cents, threshold = 0.45)
+    }),
+    // dump twin: the probed cells + history assignment q47's oracle
+    // joins over (shares ivfProbes/ivfAssign with the op — transitively
+    // hash-verified through q47's green oracle)
+    "kg_ann_ivf_delta" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val delta = emb.filter(col("vec_id") % 5 === 0)
+      val hist = emb.filter(col("vec_id") % 5 =!= 0)
+      val cents = Similarity.ivfCentroids(hist, Similarity.ivfAutoCells(hist.count()))
+      Similarity.incrementalAnnCells(delta, hist, cents)
+    }),
+
     // paragraph-granularity dedup over the chunked corpus (the
     // RefinedWeb/Dolma boilerplate scrub — see withSyntheticParagraphs)
     "q45_paragraph_dedup" -> ((s, dir) =>
@@ -1099,6 +1126,27 @@ SELECT CAST(shard_id AS BIGINT) AS shard_id, doc_id,
     AS span_tokens,
   CAST(greatest(strt, shard_id * 512) - strt AS BIGINT) AS doc_offset
 FROM e""",
+    // incremental embedding dedup: candidate pairs = the dumped delta
+    // probes joined to the dumped history assignment on cell (each
+    // history vector lives in exactly ONE cell, so a pair appears at
+    // most once); cosine + rounding = the q18/q19 math; near_dup
+    // null-guarded like the Spark side.
+    "q47_incremental_ann" ->
+      s"""WITH pr AS (SELECT vec_id, cell FROM ${dump("kg_ann_ivf_delta")} WHERE role = 'delta'),
+hs AS (SELECT vec_id, cell FROM ${dump("kg_ann_ivf_delta")} WHERE role = 'hist'),
+cand AS (SELECT pr.vec_id AS dvec, hs.vec_id AS hvec FROM pr JOIN hs USING (cell)),
+e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+  generate_subscripts(embedding, 1) AS i FROM embeddings),
+s AS (SELECT cd.dvec, cd.hvec,
+  round(sum(a.x * b.x) / sqrt(sum(a.x * a.x) * sum(b.x * b.x)), 4) AS cs
+  FROM cand cd JOIN e a ON a.vec_id = cd.dvec JOIN e b ON b.vec_id = cd.hvec AND a.i = b.i
+  GROUP BY 1, 2),
+g AS (SELECT dvec, CAST(count(*) AS BIGINT) AS n_candidates, max(cs) AS best_cos
+  FROM s GROUP BY 1)
+SELECT d.vec_id, CAST(coalesce(g.n_candidates, 0) AS BIGINT) AS n_candidates, g.best_cos,
+  CAST(CASE WHEN g.best_cos >= 0.45 THEN 1 ELSE 0 END AS INT) AS near_dup
+FROM (SELECT vec_id FROM embeddings WHERE vec_id % 5 = 0) d
+LEFT JOIN g ON d.vec_id = g.dvec""",
     "q24_deterministic_sample" ->
       """SELECT doc_id, n_chars FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 20""",

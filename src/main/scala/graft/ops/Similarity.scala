@@ -232,10 +232,12 @@ object Similarity {
   /** Corpus side of the IVF index: each vector labeled with its single
     * nearest cell.
     */
-  /** Probe side of the IVF search (query_id, q_emb, cell), exposed for
-    * the DebugIvf cost decomposition.
+  /** Probe side of the IVF search (query_id, q_emb, cell) — shared by
+    * the DebugIvf cost decomposition, [[incrementalAnnDedup]] and its
+    * dump twin (so the dumped probes are BY CONSTRUCTION the ones the
+    * op joined on).
     */
-  private[graft] def ivfProbesForDebug(
+  private[graft] def ivfProbes(
       queries: DataFrame, centroids: Seq[(Int, Seq[Float])], nProbe: Int): DataFrame =
     queries
       .select(
@@ -433,6 +435,84 @@ object Similarity {
     * clusters and per-query work stays nProbe · n / nCells by
     * construction.
     */
+  /** Incremental (delta-vs-history) EMBEDDING dedup — completes the
+    * incremental trio ([[graft.ops.Dedup.incrementalDedup]] = exact
+    * digests, [[graft.ops.Dedup.incrementalNearDup]] = minhash bands,
+    * this = embedding cosine): today's delta vectors are checked
+    * against the already-ingested corpus through its STORED IVF index
+    * — `centroids` is the index snapshot built offline on a corpus
+    * sample ([[ivfCentroids]]; the same train-then-serve split as
+    * `ivfDedupStream`'s static snapshot), `history` the ingested
+    * vectors (assigned to their cells; at 10^12 rows a table WRITTEN
+    * bucketed by cell so the probe join is co-located). Each delta
+    * vector probes its `nProbe` nearest cells and scores ONLY the
+    * history vectors assigned there.
+    *
+    * Output: one row per delta vector — (vec_id, n_candidates,
+    * best_cos = max 4-decimal-rounded cosine among candidates (null
+    * when none), near_dup = best_cos ≥ threshold). History-only by
+    * contract, like the other two incremental flags: within-delta
+    * duplicates are the admitted batch's own dedup pass
+    * ([[ivfNearDupClusters]]).
+    *
+    * Approximate like every ANN surface: a history near-dup whose cell
+    * no probe reaches is missed (AnnRecallSpec-measured on clustered
+    * fixtures). Scale posture: work is delta-bounded — |delta| ·
+    * nProbe · (|history| / nCells) candidate pairs, never a history
+    * self-join; history embeddings outside probed cells are never
+    * read when the store is cell-bucketed.
+    */
+  def incrementalAnnDedup(
+      delta: DataFrame,
+      history: DataFrame,
+      centroids: Seq[(Int, Seq[Float])],
+      threshold: Double,
+      nProbe: Int = 2): DataFrame = {
+    // localCheckpoint: same lineage-cut rationale as ivfTopK (an
+    // expression-defined embedding column would re-evaluate per
+    // candidate pair through the cell join)
+    val d = delta.localCheckpoint()
+    val hist = ivfAssign(history.localCheckpoint(), centroids)
+      .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+    val scored = ivfProbes(d, centroids, nProbe)
+      .join(hist, Seq("cell"))
+      .select(
+        col("query_id"),
+        // round-before-aggregate: the same cross-engine tie contract as
+        // ivfTopK (the oracle replays max over DuckDB's rounded sums)
+        round(cosine(col("q_emb"), col("n_emb")), 4).as("cos"))
+    val agg = scored
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_candidates"), max(col("cos")).as("best_cos"))
+      .withColumnRenamed("query_id", "vec_id")
+    d.select(col("vec_id"))
+      .join(agg, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("best_cos"),
+        when(col("best_cos") >= threshold, 1).otherwise(0).as("near_dup"))
+  }
+
+  /** Dump twin of [[incrementalAnnDedup]] for the DuckDB oracle: the
+    * delta's probed cells and the history's cell assignment as one
+    * scalar-column frame (role ∈ delta|hist). Shares [[ivfProbes]] /
+    * [[ivfAssign]] with the op, so the dumped projections ARE the join
+    * inputs the op used — the oracle then replays the cell join, the
+    * cosine scoring and the per-vector aggregation independently in
+    * SQL over this dump plus the raw embeddings table.
+    */
+  def incrementalAnnCells(
+      delta: DataFrame,
+      history: DataFrame,
+      centroids: Seq[(Int, Seq[Float])],
+      nProbe: Int = 2): DataFrame =
+    ivfProbes(delta.localCheckpoint(), centroids, nProbe)
+      .select(lit("delta").as("role"), col("query_id").as("vec_id"), col("cell"))
+      .unionByName(
+        ivfAssign(history.localCheckpoint(), centroids)
+          .select(lit("hist").as("role"), col("vec_id"), col("cell")))
+
   def bucketedTopK(
       embeddings: DataFrame, k: Int, nPlanes: Int = 8, multiProbe: Boolean = false): DataFrame = {
     // localCheckpoint, not cache: released on GC instead of pinned in

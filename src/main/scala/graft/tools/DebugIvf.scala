@@ -24,7 +24,7 @@ object DebugIvf {
     t("cellsizes")(assigned.groupBy("cell").count().orderBy(desc("count")).show(5))
     // decompose the search: probes alone, candidate join alone (no
     // window), then the full top-k
-    val probes = t("probes")(Similarity.ivfProbesForDebug(emb, cents, 2).localCheckpoint())
+    val probes = t("probes")(Similarity.ivfProbes(emb, cents, 2).localCheckpoint())
     println(s"[ivf] probe rows=${probes.count()}")
     val corpus = assigned
       .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))

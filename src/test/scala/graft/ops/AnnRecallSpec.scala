@@ -188,4 +188,72 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(topk.count() == 3)
     emb.unpersist()
   }
+
+  test("incremental ANN dedup: delta flags vs history cells — sound, high recall, cell-bounded, replayable") {
+    import spark.implicits._
+    val emb = clustered.cache()
+    // split on % 7, NOT % 5: the fixture's clusters are vec_id % 10, so
+    // a % 5 delta would swallow clusters 0 and 5 WHOLE and leave them no
+    // history twins (the catalog's % 5 split is fine — testdata
+    // embeddings are isotropic, not keyed to vec_id)
+    val delta = emb.filter($"vec_id" % 7 === 0)
+    val hist = emb.filter($"vec_id" % 7 =!= 0)
+    val nCells = 16
+    val cents = Similarity.ivfCentroids(hist, nCells)
+    val thr = 0.9
+    val out = Similarity.incrementalAnnDedup(delta, hist, cents, thr, nProbe = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]), r.getInt(3)))).toMap
+
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val deltaIds = vecs.keys.filter(_ % 7 == 0).toSeq
+    val histIds = vecs.keys.filter(_ % 7 != 0).toSeq
+
+    // one row per delta vector
+    assert(out.keySet == deltaIds.toSet)
+    // soundness: a flagged vector really has a history near-dup
+    out.foreach { case (id, (_, best, flag)) =>
+      if (flag == 1) {
+        val trueBest = histIds.map(h => r4(cos(vecs(id), vecs(h)))).max
+        assert(trueBest >= thr, s"delta $id flagged but true best cos is $trueBest")
+        assert(best.exists(_ <= trueBest + 1e-12), s"delta $id best_cos ${best} > true $trueBest")
+      }
+    }
+    // recall on the tight-cluster fixture: every delta member's cluster
+    // siblings live in history, so nearly all true near-dups are caught
+    val trulyDup = deltaIds.filter(id => histIds.exists(h => r4(cos(vecs(id), vecs(h))) >= thr))
+    val caught = trulyDup.count(id => out(id)._3 == 1)
+    assert(caught.toDouble / trulyDup.size >= 0.9,
+      s"incremental ANN recall ${caught.toDouble / trulyDup.size} over ${trulyDup.size} true dups")
+
+    // cell-bounded candidate volume (never a delta×history all-pairs)
+    val cellSizes = Similarity.ivfAssign(hist, cents).groupBy("cell").count()
+      .collect().map(_.getLong(1))
+    assert(out.values.map(_._1).max <= 2 * cellSizes.max,
+      "candidates exceed nProbe × max cell size")
+
+    // dump-twin replay (the oracle's join, in Scala): candidates from
+    // incrementalAnnCells joined on cell reproduce the op's counts and
+    // best_cos exactly
+    val cells = Similarity.incrementalAnnCells(delta, hist, cents).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val hByCell = cells.filter(_._1 == "hist").groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    val replay = cells.filter(_._1 == "delta").groupBy(_._2).map { case (id, probes) =>
+      val cand = probes.flatMap(p => hByCell.getOrElse(p._3, Array.empty[Long]))
+      val scored = cand.map(h => r4(cos(vecs(id), vecs(h))))
+      id -> ((cand.length.toLong, scored.sorted.lastOption, if (scored.exists(_ >= thr)) 1 else 0))
+    }
+    assert(replay == out, "dump-twin replay diverges from the operator")
+    emb.unpersist()
+  }
 }
