@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -229,6 +229,161 @@ object Similarity {
     df.schema("embedding").dataType
       .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
 
+  /** Above this centroid count the per-centroid-literal plan
+    * ([[nearestCells]]) stops being viable: each centroid is its own
+    * expression node, so the plan grows O(nCells) and whole-stage
+    * codegen hits JVM method/constant-pool limits long before the
+    * √(nProbe·n) cell rule reaches production n (~45k cells at n=10⁹).
+    * Beyond it, [[nearestCellsBroadcast]] scores a BROADCAST centroid
+    * matrix in one `mapPartitions` pass — plan size O(1), one
+    * primitive-array loop per row — preserving the literal path's
+    * scores and ordering BIT-EXACTLY (spec-gated on both element
+    * types). 512 keeps every measured regime (sf1's 200 cells; the
+    * 5×-slower CodegenFallback HOF rationale) on the codegen'd literal
+    * path.
+    */
+  private[graft] val MaxLiteralCells = 512
+
+  /** Branch-free contract shared by both assignment paths: `df` plus
+    * `outCol` = the nProbe nearest cells as array<struct<neg_cos,cell>>
+    * (descending cosine, ties → lower cell id, zero-norm/null → ranked
+    * last via +inf, exactly [[nearestCells]]'s semantics).
+    * `forceBroadcast` pins a path for the equivalence spec; callers
+    * leave it None and get the size-based choice.
+    */
+  private[graft] def withNearestCells(
+      df: DataFrame,
+      centroids: Seq[(Int, Seq[Float])],
+      nProbe: Int,
+      outCol: String,
+      forceBroadcast: Option[Boolean] = None): DataFrame = {
+    val broadcastPath =
+      forceBroadcast.getOrElse(centroids.size > MaxLiteralCells)
+    if (centroids.isEmpty || !broadcastPath)
+      df.withColumn(outCol, nearestCells(col("embedding"), embElemType(df), centroids, nProbe))
+    else nearestCellsBroadcast(df, centroids, nProbe, outCol)
+  }
+
+  /** The large-nCells assignment path: centroids travel as ONE
+    * broadcast double matrix and each row is scored in a single
+    * primitive-array pass inside `mapPartitions` — no per-centroid
+    * expression nodes, so the plan stays O(1) as the √(nProbe·n) rule
+    * grows cells into the tens of thousands.
+    *
+    * Bit-exactness contract with [[nearestCells]] (spec-gated):
+    *   - same fused dot/|a|²/|b|² double accumulation in index order
+    *     as the native CosineSim (floats widen per element; the
+    *     centroid matrix is pre-widened once — same doubles);
+    *   - null array / length mismatch / null element / zero norm →
+    *     +inf neg_cos, exactly the coalesce(-cos, MaxValue) guard;
+    *   - ordering by (neg_cos, cell) with SPARK's double semantics
+    *     (-0.0 == 0.0, primitive compare) — NOT java.lang.Double
+    *     .compare, whose -0.0 < 0.0 would flip a probe order on an
+    *     exact-zero cosine tie.
+    */
+  private def nearestCellsBroadcast(
+      df: DataFrame,
+      centroids: Seq[(Int, Seq[Float])],
+      nProbe: Int,
+      outCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val sorted = centroids.sortBy(_._1)
+    val cellIds = sorted.map(_._1).toArray
+    val matrix = sorted.map(_._2.map(_.toDouble).toArray).toArray
+    val bc = spark.sparkContext.broadcast((cellIds, matrix))
+    val schema = df.schema
+    val embIdx = schema.fieldIndex("embedding")
+    val outSchema = schema.add(
+      outCol,
+      ArrayType(
+        StructType(Seq(
+          StructField("neg_cos", DoubleType, nullable = false),
+          StructField("cell", IntegerType, nullable = false))),
+        containsNull = false))
+    val take = math.min(nProbe, centroids.size)
+    // centroid norms |q|² precomputed ONCE driver-side — the same q*q
+    // index-order accumulation the fused loop would produce per row, so
+    // the doubles are identical; per-(row,centroid) work drops to the
+    // dot product alone (3× fewer FMAs than the fused literal loop)
+    val cNorms = matrix.map { cv =>
+      var nb = 0.0; var i = 0
+      while (i < cv.length) { nb += cv(i) * cv(i); i += 1 }
+      nb
+    }
+    df.mapPartitions { it =>
+      val (ids, cents) = bc.value
+      val n = ids.length
+      val bestNeg = new Array[Double](take)
+      val bestCell = new Array[Int](take)
+      it.map { row =>
+        val emb: Array[Double] =
+          if (row.isNullAt(embIdx)) null
+          else {
+            val s = row.getSeq[Any](embIdx)
+            val a = new Array[Double](s.length)
+            var ok = true
+            var i = 0
+            while (i < s.length) {
+              s(i) match {
+                case f: java.lang.Float  => a(i) = f.toDouble
+                case d: java.lang.Double => a(i) = d
+                case x: java.lang.Number => a(i) = x.doubleValue
+                case null                => ok = false
+              }
+              i += 1
+            }
+            if (ok) a else null
+          }
+        // |p|² hoisted out of the centroid loop (identical accumulation)
+        var na = 0.0
+        if (emb != null) {
+          var i = 0
+          while (i < emb.length) { na += emb(i) * emb(i); i += 1 }
+        }
+        // top-`take` insertion scan instead of a full boxed sort: cells
+        // are visited in ASCENDING id order with a STRICT primitive `<`
+        // displacement test, which is exactly the (neg_cos, cell)
+        // struct order — equal neg_cos (incl. -0.0 vs 0.0, equal under
+        // Spark's non-NaN compare) never displaces an earlier id.
+        var k = 0
+        while (k < take) { bestNeg(k) = Double.MaxValue; bestCell(k) = Int.MaxValue; k += 1 }
+        var c = 0
+        while (c < n) {
+          val cv = cents(c)
+          val neg =
+            if (emb == null || emb.length != cv.length) Double.MaxValue
+            else {
+              var dot = 0.0; var i = 0
+              while (i < emb.length) { dot += emb(i) * cv(i); i += 1 }
+              val nb = cNorms(c)
+              if (na == 0.0 || nb == 0.0) Double.MaxValue
+              else -(dot / math.sqrt(na * nb))
+            }
+          if (neg < bestNeg(take - 1)) {
+            var pos = take - 1
+            while (pos > 0 && neg < bestNeg(pos - 1)) {
+              bestNeg(pos) = bestNeg(pos - 1); bestCell(pos) = bestCell(pos - 1)
+              pos -= 1
+            }
+            bestNeg(pos) = neg; bestCell(pos) = ids(c)
+          } else if (neg == Double.MaxValue && bestNeg(take - 1) == Double.MaxValue &&
+            bestCell(take - 1) == Int.MaxValue) {
+            // degenerate all-+inf rows (null/zero-norm embedding) still
+            // fill their probe list in cell-id order, like the literal
+            // path's sort of an all-MaxValue array
+            var pos = 0
+            while (pos < take && bestCell(pos) != Int.MaxValue) pos += 1
+            if (pos < take) { bestNeg(pos) = neg; bestCell(pos) = ids(c) }
+          }
+          c += 1
+        }
+        val cells = (0 until take).map(k => Row(bestNeg(k), bestCell(k)))
+        Row.fromSeq(row.toSeq :+ cells)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Corpus side of the IVF index: each vector labeled with its single
     * nearest cell.
     */
@@ -239,26 +394,24 @@ object Similarity {
     */
   private[graft] def ivfProbes(
       queries: DataFrame, centroids: Seq[(Int, Seq[Float])], nProbe: Int): DataFrame =
-    queries
+    withNearestCells(
+      queries.select(col("vec_id"), col("embedding")), centroids, nProbe, "cells")
       .select(
         col("vec_id").as("query_id"),
         col("embedding").as("q_emb"),
-        explode(nearestCells(col("embedding"), embElemType(queries), centroids, nProbe))
-          .as("probe"))
+        explode(col("cells")).as("probe"))
       .select(col("query_id"), col("q_emb"), col("probe.cell").as("cell"))
 
   def ivfAssign(embeddings: DataFrame, centroids: Seq[(Int, Seq[Float])]): DataFrame =
-    embeddings.withColumn(
-      "cell",
-      // empty centroid sample ⇒ empty corpus: emit a typed null cell
-      // (zero rows flow anyway). element_at over the empty literal is
-      // NOT an option — constant folding evaluates it at plan time and
-      // ANSI element_at throws on the out-of-bounds index.
-      if (centroids.isEmpty) lit(null).cast("int")
-      else
-        element_at(
-          nearestCells(col("embedding"), embElemType(embeddings), centroids, 1),
-          1).getField("cell"))
+    // empty centroid sample ⇒ empty corpus: emit a typed null cell
+    // (zero rows flow anyway). element_at over the empty literal is
+    // NOT an option — constant folding evaluates it at plan time and
+    // ANSI element_at throws on the out-of-bounds index.
+    if (centroids.isEmpty) embeddings.withColumn("cell", lit(null).cast("int"))
+    else
+      withNearestCells(embeddings, centroids, 1, "__cells")
+        .withColumn("cell", element_at(col("__cells"), 1).getField("cell"))
+        .drop("__cells")
 
   /** IVF ANN top-k: queries probe their `nProbe` nearest cells and rank
     * only the candidates assigned there. Join fan-out is bounded by
@@ -286,10 +439,8 @@ object Similarity {
         // nCells-cosine scan, the expensive per-row step) serves both
         // sides; localCheckpoint materializes it once.
         val centroids = ivfCentroids(emb, nCells)
-        val scored = emb
-          .select(
-            col("vec_id"), col("embedding"),
-            nearestCells(col("embedding"), embElemType(emb), centroids, nProbe).as("cells"))
+        val scored = withNearestCells(
+          emb.select(col("vec_id"), col("embedding")), centroids, nProbe, "cells")
           .localCheckpoint()
         (scored.select(
           element_at(col("cells"), 1).getField("cell").as("cell"),
@@ -303,11 +454,7 @@ object Similarity {
         val centroids = ivfCentroids(emb, nCells)
         (ivfAssign(emb, centroids)
           .select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")),
-          q.select(
-            col("vec_id").as("query_id"),
-            col("embedding").as("q_emb"),
-            explode(nearestCells(col("embedding"), embElemType(q), centroids, nProbe)).as("probe"))
-            .select(col("query_id"), col("q_emb"), col("probe.cell").as("cell")))
+          ivfProbes(q, centroids, nProbe))
       }
     val w = Window
       .partitionBy(col("query_id"))

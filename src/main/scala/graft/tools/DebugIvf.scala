@@ -12,6 +12,34 @@ object DebugIvf {
       val t0 = System.nanoTime(); val r = f
       println(f"[ivf] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
+    // `bigcells` mode: the large-nCells assignment A/B (round-7 scale
+    // path) — per-centroid-literal plan vs broadcast-matrix
+    // mapPartitions at growing cell counts. The literal path's
+    // plan/codegen cost grows O(nCells) (it is never SELECTED above
+    // MaxLiteralCells=512); the broadcast path must stay flat through
+    // nCells >= 4096, where √(nProbe·n) lands for corpus-scale n.
+    if (args.contains("bigcells")) {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet").localCheckpoint()
+      println(s"[ivf] bigcells corpus rows=${emb.count()}")
+      for (nCells <- Seq(256, 512, 1024, 2048, 4096)) {
+        val cents = Similarity.ivfCentroids(emb, nCells)
+        val bSec = t(s"broadcast assign nCells=$nCells") {
+          Similarity.withNearestCells(emb, cents, 2, "cells", Some(true))
+            .select(col("cells")).count()
+        }
+        // literal path only while it is plan-viable; above the selection
+        // threshold it exists only as the small-nCells fast path
+        if (nCells <= 1024) {
+          t(s"literal   assign nCells=$nCells") {
+            Similarity.withNearestCells(emb, cents, 2, "cells", Some(false))
+              .select(col("cells")).count()
+          }
+        }
+        val _ = bSec
+      }
+      spark.stop()
+      return
+    }
     val raw = spark.read.parquet(s"$dir/embeddings.parquet")
     val boosted = Similarity.clusterBoost(raw)
     val n = t("count")(boosted.count())

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.TestSpark
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, element_at}
 import org.scalatest.funsuite.AnyFunSuite
 import scala.util.Random
 
@@ -187,6 +188,40 @@ class AnnRecallSpec extends AnyFunSuite {
     val topk = Similarity.ivfTopK(emb, emb.filter($"vec_id" === 0L), 3, nCells = 8, nProbe = 2)
     assert(topk.count() == 3)
     emb.unpersist()
+  }
+
+  test("large-nCells assignment: broadcast-matrix path is bit-identical to the literal plan") {
+    import org.apache.spark.sql.Row
+    def cellsOf(df: DataFrame, cents: Seq[(Int, Seq[Float])], nProbe: Int, force: Boolean) =
+      Similarity.withNearestCells(df, cents, nProbe, "cells", Some(force))
+        .select("vec_id", "cells").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Row](1).map(x =>
+          // raw bits, not ==: a -0.0 vs 0.0 divergence must FAIL here
+          (java.lang.Double.doubleToRawLongBits(x.getDouble(0)), x.getInt(1))).toList)
+        .toMap
+
+    // float corpus, incl. a zero-norm vector (+inf guard on both paths)
+    import spark.implicits._
+    val f = (clustered.as[(Long, Seq[Float])].collect().toSeq :+
+      ((999L, Seq.fill(16)(0.0f)))).toDF("vec_id", "embedding").cache()
+    val cf = Similarity.ivfCentroids(f, 24)
+    assert(cellsOf(f, cf, 3, force = false) == cellsOf(f, cf, 3, force = true))
+
+    // double corpus (the clusterBoost element type)
+    val d = Similarity.clusterBoost(
+      (0L until 150L).map(i =>
+        (i, Seq.tabulate(32)(j => math.sin(i * 1.3 + j).toFloat))).toDF("vec_id", "embedding"))
+      .cache()
+    val cd = Similarity.ivfCentroids(d, 20)
+    assert(cellsOf(d, cd, 2, force = false) == cellsOf(d, cd, 2, force = true))
+
+    // end-to-end: ivfAssign through each forced path agrees
+    def assignVia(force: Boolean) =
+      Similarity.withNearestCells(f, cf, 1, "cells", Some(force))
+        .select(col("vec_id"), element_at(col("cells"), 1).getField("cell").as("cell"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assignVia(false) == assignVia(true))
+    f.unpersist(); d.unpersist()
   }
 
   test("incremental ANN dedup: delta flags vs history cells — sound, high recall, cell-bounded, replayable") {
