@@ -47,11 +47,13 @@ class DocsSyncSpec extends AnyFunSuite {
     // (fixed-size reference-corpus surfaces; bounded Θ(n²) recall
     // verifiers whose exact side scans the full table)
     val covered = Bench.sf1Catalog.toSet ++ Bench.fixedCorpusQueries ++
-      Bench.quadraticVerifierQueries ++ Bench.degenerateOnClusteredQueries
+      Bench.quadraticVerifierQueries ++ Bench.degenerateOnClusteredQueries ++
+      Bench.guardedQuadraticQueries
     assert(covered == SparkEntry.queries.keySet,
       s"unaccounted catalog keys: ${(SparkEntry.queries.keySet -- covered) ++ (covered -- SparkEntry.queries.keySet)}")
     assert(Bench.sf1Catalog.toSet.intersect(Bench.fixedCorpusQueries ++
-      Bench.quadraticVerifierQueries ++ Bench.degenerateOnClusteredQueries).isEmpty,
+      Bench.quadraticVerifierQueries ++ Bench.degenerateOnClusteredQueries ++
+      Bench.guardedQuadraticQueries).isEmpty,
       "a key cannot be both timed and excluded")
   }
 
