@@ -238,6 +238,22 @@ object Dedup {
     * pays by definition.
     */
   def paragraphDedup(docs: DataFrame, sep: String = "\n\n"): DataFrame = {
+    // keeper election key: (doc_id, para_idx) PACKED into one long —
+    // min(struct(...)) silently degrades to SortAggregate (struct is
+    // not a mutable-buffer type; PlanSpec locks this), which would
+    // re-sort the full exploded paragraph set per partition. A long min
+    // stays in a HashAggregate buffer with map-side combine. Capacity
+    // is guarded LOUDLY (assert_true), not silently wrapped: doc_id <
+    // 2^43 (8.8e12 — an order above the 10^12-row design point) and
+    // para_idx < 2^20 (1M paragraphs per doc).
+    def packed(docId: Column, paraIdx: Column): Column =
+      shiftleft(docId, 20) + paraIdx +
+        coalesce(
+          assert_true(
+            docId >= 0 && docId < (1L << 43) && paraIdx < (1 << 20),
+            lit("paragraphDedup keeper key overflow: doc_id/para_idx out of packed range"))
+            .cast("long"),
+          lit(0L))
     val paras = docs.select(
       col("doc_id"),
       posexplode(split(col("text"), java.util.regex.Pattern.quote(sep), -1))
@@ -245,13 +261,12 @@ object Dedup {
       .withColumn("dup_key", md5(to_binary(col("para"), lit("utf-8"))))
     val keepers = paras
       .groupBy(col("dup_key"))
-      .agg(min(struct(col("doc_id"), col("para_idx"))).as("keep"))
+      .agg(min(packed(col("doc_id"), col("para_idx"))).as("keep"))
     paras
       .join(keepers, Seq("dup_key"))
       .withColumn(
         "kept",
-        (col("doc_id") === col("keep.doc_id") && col("para_idx") === col("keep.para_idx"))
-          .cast("long"))
+        (packed(col("doc_id"), col("para_idx")) === col("keep")).cast("long"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_paras"),

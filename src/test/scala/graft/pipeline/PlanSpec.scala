@@ -159,4 +159,30 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("REPARTITION_BY_NUM"),
       "pre-window repartition on query_id lost:\n" + plan)
   }
+
+  test("q46: packing prefix sum stays bucketed — broadcast prefix join, no global window sort") {
+    val plan = planOf(SparkEntry.queries("q46_sequence_pack")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"),
+      "bucket-prefix join lost its broadcast:\n" + plan)
+    // the CORPUS window must be partitioned on bkt — packPlan (the
+    // definition form) has an empty partition spec and plans the whole
+    // corpus through one Exchange SinglePartition sort. The tiny
+    // 256-row bucket-prefix window IS single-partition by design, so
+    // assert on the window that carries n_tokens.
+    assert(plan.contains("windowspecdefinition(bkt"),
+      "corpus window lost its bucket partitioning:\n" + plan)
+    assert(plan.contains("hashpartitioning(bkt"),
+      "bucketed decomposition missing from plan:\n" + plan)
+  }
+
+  test("q45: paragraph keeper election is a partial-aggregated digest groupBy, no sort-based agg") {
+    val plan = planOf(SparkEntry.queries("q45_paragraph_dedup")(spark, sf))
+    // min(struct(doc_id, para_idx)) must stay in a mutable HashAggregate
+    // buffer (map-side combine bounds the shuffle by distinct
+    // paragraphs); a silent SortAggregate degradation re-sorts the full
+    // exploded paragraph set per partition
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("SortAggregate"),
+      "keeper election degraded to SortAggregate:\n" + plan)
+  }
 }
