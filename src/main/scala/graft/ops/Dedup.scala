@@ -278,6 +278,19 @@ object Dedup {
           sep).as("text_dedup"))
   }
 
+  /** Distinct paragraph digests of a corpus — the stored table
+    * [[graft.streaming.StreamOps.paragraphDedupStream]] preloads as its
+    * initial state (the paragraph-granularity twin of [[digests]]):
+    * 16 bytes per DISTINCT paragraph, maintained at ingest, so a
+    * continuous crawl suppresses known boilerplate without re-reading
+    * history text.
+    */
+  def paragraphDigests(docs: DataFrame, sep: String = "\n\n"): DataFrame =
+    docs
+      .select(explode(split(col("text"), java.util.regex.Pattern.quote(sep), -1)).as("para"))
+      .select(md5(to_binary(col("para"), lit("utf-8"))).as("dup_key"))
+      .distinct()
+
   /** Word k-gram shingles of `text` as a distinct array. */
   def shingles(text: Column, k: Int = 3): Column = {
     val toks = TextOps.tokens(text)

@@ -276,6 +276,67 @@ object StreamOps {
         })
   }
 
+  final case class ParaDedupOut(doc_id: Long, para_idx: Int, dup_key: String, kept: Int)
+
+  /** Streaming twin of [[graft.ops.Dedup.paragraphDedup]] — continuous
+    * paragraph-granularity boilerplate suppression: arriving documents
+    * explode into paragraphs (stateless `posexplode`), and each
+    * paragraph digest is admitted AT MOST ONCE across the stream's
+    * lifetime — one boolean of state per distinct paragraph, preloaded
+    * from a stored digest table via `initialState` exactly like
+    * [[incrementalDedupStream]] (the checkpointed state store IS the
+    * paragraph-digest store). Output is per (doc, para_idx) kept flags
+    * in append mode; document REASSEMBLY is deliberately left to the
+    * consumer (a `foreachBatch` groupBy(doc_id) — a second stateful
+    * shuffle inside one append-mode query is not a streaming shape,
+    * and the batch op's reassembly tail is reusable there verbatim).
+    *
+    * Contract: one micro-batch over fresh state == the batch op's
+    * kept/removed decisions per (doc_id, para_idx) (spec-gated —
+    * within a batch the survivor is the minimum (doc_id, para_idx),
+    * the batch keeper rule); across batches, earlier-batch admission
+    * wins, the arrival-order analogue of global-first-occurrence.
+    *
+    * Scale posture: per-paragraph work is one state lookup keyed by
+    * digest; state grows with DISTINCT paragraphs (16-byte keys),
+    * never with duplicate mass. No watermark: boilerplate membership
+    * does not expire.
+    */
+  def paragraphDedupStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      sep: String = "\n\n",
+      initialDigests: Option[DataFrame] = None): Dataset[ParaDedupOut] = {
+    import spark.implicits._
+    val paras = docs
+      .select(
+        col("doc_id").cast("long"),
+        posexplode(split(col("text"), java.util.regex.Pattern.quote(sep), -1))
+          .as(Seq("para_idx", "para")))
+      .select(
+        col("doc_id"), col("para_idx"),
+        md5(to_binary(col("para"), lit("utf-8"))).as("dup_key"))
+      .as[(Long, Int, String)]
+      .groupByKey(_._3)
+    val fn = (key: String, it: Iterator[(Long, Int, String)], state: GroupState[Boolean]) => {
+      val known = state.exists
+      val out = it.toSeq.sortBy(t => (t._1, t._2)).zipWithIndex.map {
+        case ((id, idx, _), i) =>
+          ParaDedupOut(id, idx, key, if (!known && i == 0) 1 else 0)
+      }
+      if (!known) state.update(true)
+      out.iterator
+    }
+    initialDigests match {
+      case Some(store) =>
+        val init = store.select(col("dup_key")).as[String]
+          .groupByKey(identity).mapValues(_ => true)
+        paras.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout, init)(fn)
+      case None =>
+        paras.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+    }
+  }
+
   final case class DecontOut(doc_id: Long, n_hit_shingles: Long, contaminated: Int)
 
   /** Collect a benchmark corpus's distinct k-token shingles for

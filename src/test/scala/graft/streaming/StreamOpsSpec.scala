@@ -283,6 +283,77 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(stream == batch, s"stream $stream != batch $batch")
   }
 
+  test("paragraphDedupStream: one micro-batch equals the batch op's kept decisions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "intro\n\nshared boilerplate\n\nbody one"),
+      (2L, "shared boilerplate\n\nbody two"),
+      (3L, "dup\n\ndup\n\nunique"),
+      (4L, "shared boilerplate"))
+    // batch truth: the keeper contract replayed in plain Scala (the
+    // reassembled TEXT can't distinguish an intra-doc duplicate span
+    // from its survivor), plus a consistency check that the batch op's
+    // n_kept agrees with the replay
+    val firstOwner = corpus
+      .flatMap { case (id, t) =>
+        t.split("\n\n", -1).zipWithIndex.map { case (p, i) => (p, (id, i)) }
+      }
+      .groupBy(_._1).map { case (p, occ) => p -> occ.map(_._2).min }
+    val batchKept = corpus.flatMap { case (id, t) =>
+      t.split("\n\n", -1).zipWithIndex.map { case (p, i) =>
+        ((id, i), firstOwner(p) == ((id, i)))
+      }
+    }.toMap
+    val batchNKept = graft.ops.Dedup.paragraphDedup(corpus.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    corpus.foreach { case (id, _) =>
+      assert(batchNKept(id) == batchKept.count { case ((d, _), k) => d == id && k },
+        s"batch op n_kept disagrees with the replay for doc $id")
+    }
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.paragraphDedupStream(spark, mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("para_dedup_stream")
+      .outputMode("append").start()
+    mem.addData(corpus: _*)
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("para_dedup_stream").collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getInt(3) == 1)).toMap
+    // every batch-kept paragraph is stream-kept and vice versa (the
+    // batch survivor rule IS min (doc_id, para_idx) within one batch)
+    assert(stream.keySet == batchKept.keySet, s"span sets differ: $stream")
+    // batch truth via text can't see kept-but-empty paragraphs; compare
+    // on the digest-level decisions instead for non-empty paras
+    stream.foreach { case (k, kept) =>
+      assert(kept == batchKept(k), s"span $k: stream=$kept batch=${batchKept(k)}")
+    }
+  }
+
+  test("paragraphDedupStream: preloaded digest store + cross-batch suppression") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val history = Seq((100L, "known banner\n\nold body")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.paragraphDedupStream(
+      spark, mem.toDF().toDF("doc_id", "text"),
+      initialDigests = Some(graft.ops.Dedup.paragraphDigests(history)))
+      .writeStream.format("memory").queryName("para_dedup_incr")
+      .outputMode("append").start()
+    mem.addData((1L, "known banner\n\nfresh text")) // banner preloaded -> dropped
+    q.processAllAvailable()
+    mem.addData((2L, "fresh text\n\nnewer still")) // fresh text admitted in batch 1
+    q.processAllAvailable()
+    q.stop()
+    val r = spark.table("para_dedup_incr").collect()
+      .map(x => ((x.getLong(0), x.getInt(1)), x.getInt(3))).toMap
+    assert(r == Map(
+      (1L, 0) -> 0, // known banner: in the preloaded store
+      (1L, 1) -> 1, // fresh text: first occurrence ever
+      (2L, 0) -> 0, // fresh text again: admitted last batch
+      (2L, 1) -> 1), s"got $r")
+  }
+
   test("nearDupStream: fingerprint-identical docs within the watermark are suppressed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
