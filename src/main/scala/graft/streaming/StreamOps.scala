@@ -189,12 +189,13 @@ object StreamOps {
       emb: Dataset[EmbRow],
       centroids: Seq[(Int, Seq[Float])],
       threshold: Double = 0.95,
-      maxPerCell: Int = 64
+      maxPerCell: Int = 64,
+      historyVecs: Option[DataFrame] = None
   ): Dataset[EmbRow] = {
     import spark.implicits._
     require(centroids.nonEmpty, "ivfDedupStream needs a non-empty centroid snapshot")
     val cents = centroids.sortBy(_._1).toArray
-    emb
+    val keyed = emb
       .map { r =>
         var bestCell = cents(0)._1
         var bestCos = Double.NegativeInfinity
@@ -205,20 +206,44 @@ object StreamOps {
         (r.vec_id, r.embedding, bestCell)
       }
       .groupByKey(_._3)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: Int, it: Iterator[(Long, Seq[Float], Int)], state: GroupState[BucketRing]) => {
-          var ring = state.getOption.getOrElse(BucketRing(Nil))
-          val out = Seq.newBuilder[EmbRow]
-          it.toSeq.sortBy(_._1).foreach { case (id, vec, _) =>
-            val dup = ring.vecs.exists(v => cosF(v, vec) >= threshold)
-            if (!dup) {
-              out += EmbRow(id, vec)
-              ring = BucketRing((ring.vecs :+ vec).takeRight(maxPerCell))
-            }
+    val fn = (_: Int, it: Iterator[(Long, Seq[Float], Int)], state: GroupState[BucketRing]) => {
+      var ring = state.getOption.getOrElse(BucketRing(Nil))
+      val out = Seq.newBuilder[EmbRow]
+      it.toSeq.sortBy(_._1).foreach { case (id, vec, _) =>
+        val dup = ring.vecs.exists(v => cosF(v, vec) >= threshold)
+        if (!dup) {
+          out += EmbRow(id, vec)
+          ring = BucketRing((ring.vecs :+ vec).takeRight(maxPerCell))
+        }
+      }
+      state.update(ring)
+      out.result().iterator
+    }
+    historyVecs match {
+      // streaming q47: rings preloaded from the ingested corpus — the
+      // delta stream is suppressed against HISTORY, not just against
+      // what this stream has seen. History vectors are assigned with
+      // the SAME static centroid snapshot (batch ivfAssign) and each
+      // cell's ring keeps its most recent maxPerCell in vec_id order —
+      // exactly the eviction state a live stream would hold had it
+      // ingested history in id order, so preloaded and organically
+      // grown state are indistinguishable to the operator.
+      case Some(hist) =>
+        val initState = graft.ops.Similarity
+          .ivfAssign(hist, centroids)
+          .select(col("cell"), col("vec_id").cast("long"), col("embedding"))
+          .as[(Int, Long, Seq[Float])]
+          .groupByKey(_._1)
+          .mapGroups { (cell, it) =>
+            cell -> BucketRing(it.toSeq.sortBy(_._2).takeRight(maxPerCell).map(_._3))
           }
-          state.update(ring)
-          out.result().iterator
-        })
+          .groupByKey(_._1)
+          .mapValues(_._2)
+        keyed.flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout, initState)(fn)
+      case None =>
+        keyed.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+    }
   }
 
   final case class IncrDedupOut(doc_id: Long, dup_key: String, reason: String)

@@ -228,6 +228,33 @@ class StreamOpsSpec extends AnyFunSuite {
       s"evicted vector's copy must be re-admitted after maxPerCell admissions, got $ids")
   }
 
+  test("ivfDedupStream: history-preloaded rings suppress delta dups against the ingested corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def basis(i: Int, eps: Float = 0f): Seq[Float] =
+      Seq.tabulate(8)(d => if (d == i) 1f else if (d == (i + 1) % 8) eps else 0f)
+    val centroids = Seq((0, basis(0)), (1, basis(2)), (2, basis(4)))
+    // the ingested corpus: one vector near centroid 0, one near centroid 1
+    val history = Seq((100L, basis(0, 0.001f)), (101L, basis(2, 0.001f)))
+      .toDF("vec_id", "embedding")
+    val mem = MemoryStream[StreamOps.EmbRow]
+    val q = StreamOps.ivfDedupStream(
+      spark, mem.toDS(), centroids, threshold = 0.999, historyVecs = Some(history))
+      .writeStream.format("memory").queryName("ivf_dedup_hist")
+      .outputMode("append").start()
+    mem.addData(
+      StreamOps.EmbRow(1L, basis(0, 0.002f)), // near history 100 -> suppressed
+      StreamOps.EmbRow(2L, basis(2, 0.002f)), // near history 101 -> suppressed
+      StreamOps.EmbRow(3L, basis(4))) // cell 2 has no history: admitted
+    q.processAllAvailable()
+    mem.addData(StreamOps.EmbRow(4L, basis(4, 0.001f))) // dup of the batch-1 admit
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("ivf_dedup_hist").collect().map(_.getLong(0)).toSeq
+    assert(ids == Seq(3L),
+      s"history dups must be suppressed from the FIRST batch, got $ids")
+  }
+
   test("incrementalDedupStream: preloaded fingerprint store + cross-batch admission") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
