@@ -503,6 +503,12 @@ object SparkEntry {
     // definition the oracle replays)
     "q46_sequence_pack" -> ((s, dir) =>
       Packing.packPlanBucketed(rd(s, dir, "documents"), seqLen = 512)),
+    // exact-substring duplication signals (Lee et al.): per-doc mass of
+    // 12-token windows whose value appeared earlier in the corpus
+    // (k = 12 < the testdata's 30-80-token docs, so real windows exist;
+    // duplicate mass comes from the corpus's exact-dup documents)
+    "q48_dup_spans" -> ((s, dir) =>
+      Dedup.duplicatedWindowSpans(rd(s, dir, "documents"), k = 12)),
 
     // -------- sampling + dedup clustering --------------------------------
     "q24_deterministic_sample" -> ((s, dir) =>
@@ -1126,6 +1132,34 @@ SELECT CAST(shard_id AS BIGINT) AS shard_id, doc_id,
     AS span_tokens,
   CAST(greatest(strt, shard_id * 512) - strt AS BIGINT) AS doc_offset
 FROM e""",
+    // exact-substring dup signals: every 12-token window hashed, global
+    // first occurrence elected via row_number over (doc_id, strt),
+    // flagged later occurrences merged into maximal spans per doc via
+    // the gaps-and-islands running max (prev_end can never exceed
+    // strt + 12 because starts ascend, so the per-window contribution
+    // is strt + 12 - greatest(strt, prev_end) — the same fold the
+    // Spark side runs row-locally).
+    "q48_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+w AS (SELECT doc_id, unnest(generate_series(0, CAST(len(toks) - 12 AS INT))) AS strt, toks
+  FROM t WHERE len(toks) >= 12),
+occ AS (SELECT doc_id, strt,
+  md5(array_to_string(list_slice(toks, strt + 1, strt + 12), ' ')) AS h FROM w),
+rn AS (SELECT doc_id, strt, row_number() OVER (PARTITION BY h ORDER BY doc_id, strt) AS r
+  FROM occ),
+f AS (SELECT doc_id, strt FROM rn WHERE r > 1),
+m AS (SELECT doc_id, strt,
+  max(strt + 12) OVER (PARTITION BY doc_id ORDER BY strt
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM f),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+  CAST(sum(strt + 12 - greatest(strt, coalesce(prev_end, strt))) AS BIGINT) AS dup_tokens
+  FROM m GROUP BY 1)
+SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(coalesce(a.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+  CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+  round(coalesce(a.dup_tokens, 0) / len(string_split(d.text, ' ')), 4) AS dup_frac
+FROM documents d LEFT JOIN agg a USING (doc_id)""",
     // incremental embedding dedup: candidate pairs = the dumped delta
     // probes joined to the dumped history assignment on cell (each
     // history vector lives in exactly ONE cell, so a pair appears at

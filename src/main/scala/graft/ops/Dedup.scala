@@ -237,23 +237,27 @@ object Dedup {
     * bound as rewriting the corpus, which any paragraph-rewriting op
     * pays by definition.
     */
+  /** (doc_id, position) packed into one long for keeper-election mins:
+    * min(struct(...)) silently degrades to SortAggregate (struct is not
+    * a mutable-buffer type; PlanSpec locks the hash form), while a long
+    * min stays in a HashAggregate buffer with map-side combine, and the
+    * packing preserves lexicographic (doc_id, pos) order. Capacity is
+    * guarded LOUDLY (assert_true), not silently wrapped: doc_id < 2^43
+    * (8.8e12 — an order above the 10^12-row design point) and pos <
+    * 2^20 (1M positions per doc).
+    */
+  private def packedPos(docId: Column, pos: Column, op: String): Column =
+    shiftleft(docId, 20) + pos +
+      coalesce(
+        assert_true(
+          docId >= 0 && docId < (1L << 43) && pos < (1 << 20),
+          lit(s"$op keeper key overflow: doc_id/position out of packed range"))
+          .cast("long"),
+        lit(0L))
+
   def paragraphDedup(docs: DataFrame, sep: String = "\n\n"): DataFrame = {
-    // keeper election key: (doc_id, para_idx) PACKED into one long —
-    // min(struct(...)) silently degrades to SortAggregate (struct is
-    // not a mutable-buffer type; PlanSpec locks this), which would
-    // re-sort the full exploded paragraph set per partition. A long min
-    // stays in a HashAggregate buffer with map-side combine. Capacity
-    // is guarded LOUDLY (assert_true), not silently wrapped: doc_id <
-    // 2^43 (8.8e12 — an order above the 10^12-row design point) and
-    // para_idx < 2^20 (1M paragraphs per doc).
     def packed(docId: Column, paraIdx: Column): Column =
-      shiftleft(docId, 20) + paraIdx +
-        coalesce(
-          assert_true(
-            docId >= 0 && docId < (1L << 43) && paraIdx < (1 << 20),
-            lit("paragraphDedup keeper key overflow: doc_id/para_idx out of packed range"))
-            .cast("long"),
-          lit(0L))
+      packedPos(docId, paraIdx, "paragraphDedup")
     val paras = docs.select(
       col("doc_id"),
       posexplode(split(col("text"), java.util.regex.Pattern.quote(sep), -1))
@@ -290,6 +294,90 @@ object Dedup {
       .select(explode(split(col("text"), java.util.regex.Pattern.quote(sep), -1)).as("para"))
       .select(md5(to_binary(col("para"), lit("utf-8"))).as("dup_key"))
       .distinct()
+
+  /** Exact-substring duplication signals (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * RefinedWeb/C4 exact-substring stage): every k-token window of
+    * every document is hashed, the GLOBAL first occurrence of each
+    * window value is the keeper (same (doc_id, position) rule as
+    * [[paragraphDedup]], so removal keeps exactly one copy
+    * corpus-wide), and every later occurrence is a removable
+    * duplicate. Flagged windows are merged into maximal token spans
+    * per document ROW-LOCALLY, giving the actionable output: how many
+    * tokens of each doc are verbatim repeats of text that appears
+    * earlier in the corpus.
+    *
+    * Output per doc: (doc_id, n_tokens, n_dup_windows,
+    * dup_tokens = merged flagged-span token mass, dup_frac). Docs
+    * shorter than k have no window and read 0/0/0.0 — they cannot
+    * contain a duplicated k-token substring by definition.
+    *
+    * Difference from [[graft.ops.TextOps.boilerplateShingles]]: that op
+    * scores DISTINCT shingle document-frequency (a quality signal);
+    * this one flags every duplicate OCCURRENCE with positions and
+    * keeps one canonical copy (a removal plan).
+    *
+    * Scale posture: the window explode is n_tokens rows per doc — the
+    * same volume class every shingle op here already pays — and the
+    * keeper election is the packed-long HashAggregate min (map-side
+    * combine bounds the shuffle by distinct windows). Window text is
+    * hashed to the md5 hex digest before the shuffle, so 32-byte keys
+    * travel, never k-token strings; span merging never shuffles (one
+    * sorted fold inside the doc's aggregation row).
+    */
+  def duplicatedWindowSpans(docs: DataFrame, k: Int = 50): DataFrame = {
+    require(k >= 2, s"window width must be >= 2 tokens, got $k")
+    val toks = split(col("text"), " ", -1)
+    val occ = docs
+      .select(
+        col("doc_id"),
+        posexplode(
+          filter(
+            transform(toks, (_, i) => when(i <= size(toks) - k, concat_ws(" ", slice(toks, i + 1, lit(k))))),
+            x => x.isNotNull))
+          .as(Seq("strt", "win")))
+      .select(
+        col("doc_id"), col("strt"),
+        md5(to_binary(col("win"), lit("utf-8"))).as("h"))
+    val keepers = occ
+      .groupBy(col("h"))
+      .agg(min(packedPos(col("doc_id"), col("strt"), "duplicatedWindowSpans")).as("keep"))
+    val flagged = occ
+      .join(keepers, Seq("h"))
+      .withColumn(
+        "dup",
+        (packedPos(col("doc_id"), col("strt"), "duplicatedWindowSpans") =!= col("keep"))
+          .cast("long"))
+    // merged-interval mass of the flagged [strt, strt+k) windows, one
+    // row-local fold over the sorted starts (starts ascending ⇒ a
+    // window's end can never precede the running end by more than k,
+    // so contrib = (s+k) - max(s, prevEnd) and prevEnd advances to s+k)
+    val starts = sort_array(collect_list(when(col("dup") === 1, col("strt"))))
+    val dupTokens = aggregate(
+      starts,
+      struct(lit(-1L).as("prevEnd"), lit(0L).as("mass")),
+      (acc, s) => struct(
+        (s + k).cast("long").as("prevEnd"),
+        (acc.getField("mass") + (s + k) - greatest(s.cast("long"), acc.getField("prevEnd")))
+          .as("mass")),
+      acc => acc.getField("mass"))
+    val perDoc = flagged
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("dup")).as("n_dup_windows"),
+        dupTokens.as("dup_tokens"))
+    // docs shorter than k emit no window rows — restore them with zeros
+    docs
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(
+          coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"),
+          4).as("dup_frac"))
+  }
 
   /** Word k-gram shingles of `text` as a distinct array. */
   def shingles(text: Column, k: Int = 3): Column = {

@@ -102,6 +102,50 @@ class OpsSpec extends AnyFunSuite {
     free.foreach { case (id, t) => assert(idOut(id) == t, s"identity broke for $id") }
   }
 
+  test("dup spans: later window occurrences flagged, merged span mass exact, short docs zeroed") {
+    val k = 4
+    val d = docs(
+      (1L, "a b c d e f"), // all windows first occurrences
+      (2L, "a b c d e f"), // verbatim copy: fully duplicated
+      (3L, "x y a b c d q r"), // one 4-window ("a b c d") seen in doc 1
+      (4L, "s t"), // shorter than k: no windows
+      (5L, "m n o p m n o p m n o p")) // intra-doc repeats
+    val got = Dedup.duplicatedWindowSpans(d, k).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+
+    // plain-Scala contract replay
+    val corpus = Seq(
+      1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "x y a b c d q r",
+      4L -> "s t", 5L -> "m n o p m n o p m n o p")
+    val firstOwner = corpus
+      .flatMap { case (id, t) =>
+        val toks = t.split(" ", -1)
+        toks.sliding(k).zipWithIndex.filter(_._1.size == k)
+          .map { case (w, i) => (w.mkString(" "), (id, i)) }
+      }
+      .groupBy(_._1).map { case (w, occ) => w -> occ.map(_._2).min }
+    corpus.foreach { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val flagged = toks.sliding(k).zipWithIndex.filter(_._1.size == k)
+        .collect { case (w, i) if firstOwner(w.mkString(" ")) != ((id, i)) => i }.toSeq
+      val mass = flagged.foldLeft((0L, 0L)) { case ((prevEnd, m), s) =>
+        (s + k.toLong, m + (s + k) - math.max(s.toLong, prevEnd))
+      }._2
+      val (n, nw, dt, frac) = got(id)
+      assert(n == toks.length, s"doc $id n_tokens")
+      assert(nw == flagged.size, s"doc $id n_dup_windows: got $nw want ${flagged.size}")
+      assert(dt == mass, s"doc $id dup_tokens: got $dt want $mass")
+      assert(math.abs(frac - mass.toDouble / toks.length) < 1e-9 || frac ==
+        BigDecimal(mass.toDouble / toks.length).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"doc $id dup_frac $frac")
+    }
+    // the headline facts the replay should confirm
+    assert(got(1L)._4 == 0.0 && got(2L)._4 == 1.0, "verbatim copy must read fully duplicated")
+    assert(got(3L)._3 == k.toLong, "single shared window contributes exactly k tokens")
+    assert(got(4L) == ((2L, 0L, 0L, 0.0)), "short doc must read 0/0/0")
+  }
+
   test("incremental near-dup: band matches vs the history store flag delta docs") {
     val history = docs((10L, "w1 w2 w3 w4 w5 w6 w7 w8"))
     val delta = docs(
