@@ -509,6 +509,20 @@ object SparkEntry {
     // duplicate mass comes from the corpus's exact-dup documents)
     "q48_dup_spans" -> ((s, dir) =>
       Dedup.duplicatedWindowSpans(rd(s, dir, "documents"), k = 12)),
+    // the removal plan APPLIED: scrubbed corpus where only the global
+    // first occurrence of each 12-token window survives
+    "q49_dup_span_removal" -> ((s, dir) =>
+      Dedup.removeDuplicatedWindows(rd(s, dir, "documents"), k = 12)),
+    // exact-substring signals for a delta against the history's STORED
+    // window digests (same %7 delta split as q43/q44 — the third
+    // granularity of the incremental family)
+    "q50_incremental_dup_spans" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      Dedup.incrementalDupSpans(
+        docs.filter(col("doc_id") % 7 === 0),
+        Dedup.windowDigests(docs.filter(col("doc_id") % 7 =!= 0), k = 12),
+        k = 12)
+    }),
 
     // -------- sampling + dedup clustering --------------------------------
     "q24_deterministic_sample" -> ((s, dir) =>
@@ -1160,6 +1174,65 @@ SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
   CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
   round(coalesce(a.dup_tokens, 0) / len(string_split(d.text, ' ')), 4) AS dup_frac
 FROM documents d LEFT JOIN agg a USING (doc_id)""",
+    // removal plan APPLIED: same window hashing + keeper election as
+    // q48, then each doc keeps the tokens no flagged [strt, strt+12)
+    // window covers — covered indices materialized per flagged window
+    // and anti-joined against the doc's token list, text rebuilt by
+    // ordered string_agg (a fully-scrubbed doc reads '' via the outer
+    // coalesce; docs shorter than 12 tokens pass through).
+    "q49_dup_span_removal" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+w AS (SELECT doc_id, unnest(generate_series(0, CAST(len(toks) - 12 AS INT))) AS strt, toks
+  FROM t WHERE len(toks) >= 12),
+occ AS (SELECT doc_id, strt,
+  md5(array_to_string(list_slice(toks, strt + 1, strt + 12), ' ')) AS h FROM w),
+rn AS (SELECT doc_id, strt, row_number() OVER (PARTITION BY h ORDER BY doc_id, strt) AS r
+  FROM occ),
+f AS (SELECT doc_id, strt FROM rn WHERE r > 1),
+cov AS (SELECT DISTINCT doc_id, strt + g.i AS idx
+  FROM f CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS i) g),
+tok AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) - 1 AS idx FROM t),
+kept AS (SELECT tk.doc_id, tk.tok, tk.idx
+  FROM tok tk LEFT JOIN cov c ON c.doc_id = tk.doc_id AND c.idx = tk.idx
+  WHERE c.idx IS NULL),
+re AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text2,
+  CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY 1)
+SELECT d.doc_id, coalesce(re.text2, '') AS text,
+  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(len(string_split(d.text, ' ')) - coalesce(re.n_kept, 0) AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN re USING (doc_id)""",
+    // incremental exact-substring signals: delta = doc_id % 7 = 0 (the
+    // q43/q44 split); a delta window is flagged when its digest exists
+    // among the history docs' windows (history always keeps) or an
+    // earlier delta occurrence wins the (doc_id, strt) election; the
+    // gaps-and-islands tail is the q48 replay over delta rows only.
+    "q50_incremental_dup_spans" ->
+      """WITH dd AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM dd),
+w AS (SELECT doc_id, unnest(generate_series(0, CAST(len(toks) - 12 AS INT))) AS strt, toks
+  FROM t WHERE len(toks) >= 12),
+occ AS (SELECT doc_id, strt,
+  md5(array_to_string(list_slice(toks, strt + 1, strt + 12), ' ')) AS h FROM w),
+ht AS (SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id % 7 <> 0),
+hw AS (SELECT unnest(generate_series(0, CAST(len(toks) - 12 AS INT))) AS strt, toks
+  FROM ht WHERE len(toks) >= 12),
+hh AS (SELECT DISTINCT md5(array_to_string(list_slice(toks, strt + 1, strt + 12), ' ')) AS h
+  FROM hw),
+rn AS (SELECT doc_id, strt, h, row_number() OVER (PARTITION BY h ORDER BY doc_id, strt) AS r
+  FROM occ),
+f AS (SELECT doc_id, strt FROM rn WHERE r > 1 OR h IN (SELECT h FROM hh)),
+m AS (SELECT doc_id, strt,
+  max(strt + 12) OVER (PARTITION BY doc_id ORDER BY strt
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM f),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+  CAST(sum(strt + 12 - greatest(strt, coalesce(prev_end, strt))) AS BIGINT) AS dup_tokens
+  FROM m GROUP BY 1)
+SELECT d.doc_id, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(coalesce(a.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+  CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+  round(coalesce(a.dup_tokens, 0) / len(string_split(d.text, ' ')), 4) AS dup_frac
+FROM dd d LEFT JOIN agg a USING (doc_id)""",
     // incremental embedding dedup: candidate pairs = the dumped delta
     // probes joined to the dumped history assignment on cell (each
     // history vector lives in exactly ONE cell, so a pair appears at

@@ -327,8 +327,19 @@ object Dedup {
     */
   def duplicatedWindowSpans(docs: DataFrame, k: Int = 50): DataFrame = {
     require(k >= 2, s"window width must be >= 2 tokens, got $k")
+    windowSpanSignals(docs, flaggedWindows(docs, k), k)
+  }
+
+  /** One (doc_id, strt, h) row per k-token window of `text`, `h` the
+    * md5 hex digest of the window's token string — the shared front of
+    * the exact-substring family ([[duplicatedWindowSpans]],
+    * [[removeDuplicatedWindows]], [[incrementalDupSpans]]). The digest
+    * is computed BEFORE any shuffle so 32-byte keys travel, never
+    * k-token strings.
+    */
+  private[graft] def windowOcc(docs: DataFrame, k: Int): DataFrame = {
     val toks = split(col("text"), " ", -1)
-    val occ = docs
+    docs
       .select(
         col("doc_id"),
         posexplode(
@@ -339,15 +350,33 @@ object Dedup {
       .select(
         col("doc_id"), col("strt"),
         md5(to_binary(col("win"), lit("utf-8"))).as("h"))
+  }
+
+  /** Every window occurrence with its duplicate flag: the GLOBAL first
+    * (doc_id, strt) occurrence of each window value is the keeper
+    * (packed-long HashAggregate min), every later occurrence reads
+    * `dup` = 1.
+    */
+  private def flaggedWindows(docs: DataFrame, k: Int): DataFrame = {
+    val occ = windowOcc(docs, k)
     val keepers = occ
       .groupBy(col("h"))
       .agg(min(packedPos(col("doc_id"), col("strt"), "duplicatedWindowSpans")).as("keep"))
-    val flagged = occ
+    occ
       .join(keepers, Seq("h"))
       .withColumn(
         "dup",
         (packedPos(col("doc_id"), col("strt"), "duplicatedWindowSpans") =!= col("keep"))
           .cast("long"))
+  }
+
+  /** Per-doc merged-span signals over `flagged` (doc_id, strt, dup)
+    * rows — the shared tail of the exact-substring family. `docs` is
+    * the base the left join restores zero rows from (docs shorter than
+    * k emit no window).
+    */
+  private def windowSpanSignals(docs: DataFrame, flagged: DataFrame, k: Int): DataFrame = {
+    val toks = split(col("text"), " ", -1)
     // merged-interval mass of the flagged [strt, strt+k) windows, one
     // row-local fold over the sorted starts (starts ascending ⇒ a
     // window's end can never precede the running end by more than k,
@@ -377,6 +406,99 @@ object Dedup {
         round(
           coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"),
           4).as("dup_frac"))
+  }
+
+  /** APPLY the [[duplicatedWindowSpans]] removal plan (the second half
+    * of the Lee-et-al exact-substring stage): rebuild each document's
+    * text from the tokens OUTSIDE the merged flagged spans, so exactly
+    * one copy of every duplicated k-token substring survives
+    * corpus-wide (at its global first (doc_id, position) occurrence)
+    * and every later verbatim repeat is cut out.
+    *
+    * Output per doc: (doc_id, text = scrubbed token string, n_tokens =
+    * original count, n_removed = tokens cut). `n_removed` equals
+    * [[duplicatedWindowSpans]]'s `dup_tokens` by construction (both are
+    * the merged-interval mass of the flagged windows — spec-asserted).
+    * A verbatim duplicate document scrubs to the empty string; docs
+    * shorter than k pass through unchanged.
+    *
+    * Scale posture: identical to the signals op up to the final stage —
+    * the only addition is one (doc_id → sorted flagged starts) aggregate
+    * (rows bounded by DUPLICATED window count, usually a small fraction
+    * of corpus windows) joined back onto the docs scan, and a row-local
+    * token filter against the doc's own removal intervals. Text is
+    * reassembled with the same split/concat_ws(" ") inverse pair, so a
+    * doc with no flagged window round-trips byte-identically.
+    */
+  def removeDuplicatedWindows(docs: DataFrame, k: Int = 50): DataFrame = {
+    require(k >= 2, s"window width must be >= 2 tokens, got $k")
+    val removal = flaggedWindows(docs, k)
+      .filter(col("dup") === 1)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("strt"))).as("starts"))
+    val toks = split(col("text"), " ", -1)
+    // docs with nothing to remove miss the join: empty start list
+    // (typed empty literal — array() alone is array<null> and fails
+    // analysis)
+    val st = coalesce(col("starts"), typedLit(Array.empty[Int]))
+    // token i survives unless some flagged window [s, s+k) covers it;
+    // starts are this doc's own flagged windows — row-local, no shuffle
+    val kept = filter(toks, (_, i) => !exists(st, s => i >= s && i < s + k))
+    docs
+      .join(removal, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        concat_ws(" ", kept).as("text"),
+        size(toks).cast("long").as("n_tokens"),
+        (size(toks) - size(kept)).cast("long").as("n_removed"))
+  }
+
+  /** The stored projection for [[incrementalDupSpans]]: the distinct
+    * k-token window digests of an already-ingested corpus (the
+    * exact-substring twin of [[digests]] / [[paragraphDigests]]) —
+    * 32 hex bytes per DISTINCT window, maintained at ingest so history
+    * text is never re-read.
+    */
+  def windowDigests(docs: DataFrame, k: Int = 50): DataFrame =
+    windowOcc(docs, k).select(col("h")).distinct()
+
+  /** Incremental exact-substring signals: today's delta scored against
+    * the history's STORED window-digest table (the third granularity of
+    * the delta-vs-history family — [[incrementalDedup]] documents,
+    * [[incrementalNearDup]] minhash bands, this k-token windows). A
+    * delta window is a removable duplicate when its digest exists in
+    * `historyWindows` (history always keeps — its copy was ingested
+    * first) OR an earlier delta occurrence wins the packed (doc_id,
+    * strt) election. Output schema == [[duplicatedWindowSpans]], rows
+    * only for delta docs.
+    *
+    * When every history doc_id precedes every delta doc_id, this equals
+    * [[duplicatedWindowSpans]] over the union restricted to the delta
+    * (spec-asserted); under id interleaving the semantics deliberately
+    * differ — ingest order, not id order, decides who keeps.
+    *
+    * Scale posture: the window explode, keeper election, and span merge
+    * are all DELTA-bounded; the history side contributes one
+    * digest-keyed join against a 32-byte-wide stored projection
+    * (broadcast when small, shuffle-hash otherwise — never history
+    * text).
+    */
+  def incrementalDupSpans(delta: DataFrame, historyWindows: DataFrame, k: Int = 50): DataFrame = {
+    require(k >= 2, s"window width must be >= 2 tokens, got $k")
+    val occ = windowOcc(delta, k)
+    val keepers = occ
+      .groupBy(col("h"))
+      .agg(min(packedPos(col("doc_id"), col("strt"), "incrementalDupSpans")).as("keep"))
+    val hist = historyWindows.select(col("h")).distinct().withColumn("in_hist", lit(1))
+    val flagged = occ
+      .join(keepers, Seq("h"))
+      .join(hist, Seq("h"), "left")
+      .withColumn(
+        "dup",
+        (col("in_hist").isNotNull ||
+          packedPos(col("doc_id"), col("strt"), "incrementalDupSpans") =!= col("keep"))
+          .cast("long"))
+    windowSpanSignals(delta, flagged.select(col("doc_id"), col("strt"), col("dup")), k)
   }
 
   /** Word k-gram shingles of `text` as a distinct array. */

@@ -362,6 +362,64 @@ object StreamOps {
     }
   }
 
+  final case class DupSpanOut(doc_id: Long, strt: Int, dup: Int)
+
+  /** Streaming twin of [[graft.ops.Dedup.incrementalDupSpans]] —
+    * continuous exact-substring duplicate flagging: arriving documents
+    * explode into their k-token windows (stateless — the same
+    * digest-before-shuffle front as the batch family via
+    * `Dedup.windowOcc`), and each window digest is admitted AT MOST
+    * ONCE across the stream's lifetime — one boolean of state per
+    * distinct window, preloaded from a stored
+    * [[graft.ops.Dedup.windowDigests]] table via `initialState` (the
+    * checkpointed state store IS the window-digest store). Output is
+    * per (doc_id, strt) dup flags in append mode; span MERGING and the
+    * per-doc signal aggregation are deliberately left to the consumer
+    * (a `foreachBatch` groupBy(doc_id) — a second stateful shuffle in
+    * one append-mode query is not a streaming shape, and the batch
+    * op's row-local merge fold is reusable there verbatim).
+    *
+    * Contract: one micro-batch over a preloaded store == the batch
+    * incremental op's per-window flag decisions (spec-gated — within a
+    * batch the keeper is the minimum (doc_id, strt), the batch
+    * election; a digest known to the store flags every occurrence);
+    * across batches, earlier-batch admission wins — the arrival-order
+    * analogue of global-first-occurrence.
+    *
+    * Scale posture: per-window work is one state lookup keyed by the
+    * 32-byte digest; state grows with DISTINCT windows, never with
+    * duplicate mass. No watermark: substring membership does not
+    * expire.
+    */
+  def dupSpansStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      k: Int = 50,
+      initialDigests: Option[DataFrame] = None): Dataset[DupSpanOut] = {
+    import spark.implicits._
+    require(k >= 2, s"window width must be >= 2 tokens, got $k")
+    val occ = graft.ops.Dedup.windowOcc(docs.select(col("doc_id").cast("long"), col("text")), k)
+      .as[(Long, Int, String)]
+      .groupByKey(_._3)
+    val fn = (_: String, it: Iterator[(Long, Int, String)], state: GroupState[Boolean]) => {
+      val known = state.exists
+      val out = it.toSeq.sortBy(t => (t._1, t._2)).zipWithIndex.map {
+        case ((id, strt, _), i) =>
+          DupSpanOut(id, strt, if (!known && i == 0) 0 else 1)
+      }
+      if (!known) state.update(true)
+      out.iterator
+    }
+    initialDigests match {
+      case Some(store) =>
+        val init = store.select(col("h")).as[String]
+          .groupByKey(identity).mapValues(_ => true)
+        occ.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout, init)(fn)
+      case None =>
+        occ.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+    }
+  }
+
   final case class DecontOut(doc_id: Long, n_hit_shingles: Long, contaminated: Int)
 
   /** Collect a benchmark corpus's distinct k-token shingles for

@@ -146,6 +146,71 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == ((2L, 0L, 0L, 0.0)), "short doc must read 0/0/0")
   }
 
+  test("dup span removal: scrubbed text drops exactly the flagged spans; clean docs round-trip") {
+    val k = 4
+    val corpus = Seq(
+      1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "x y a b c d q r",
+      4L -> "s t", 5L -> "m n o p m n o p m n o p")
+    val d = docs(corpus: _*)
+    val got = Dedup.removeDuplicatedWindows(d, k).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // plain-Scala replay: removed indices = union of [i, i+k) over the
+    // windows whose value occurred earlier in packed (doc_id, i) order
+    val firstOwner = corpus
+      .flatMap { case (id, t) =>
+        val toks = t.split(" ", -1)
+        toks.sliding(k).zipWithIndex.filter(_._1.size == k)
+          .map { case (w, i) => (w.mkString(" "), (id, i)) }
+      }
+      .groupBy(_._1).map { case (w, o) => w -> o.map(_._2).min }
+    corpus.foreach { case (id, t) =>
+      val toks = t.split(" ", -1)
+      val removed = toks.sliding(k).zipWithIndex.filter(_._1.size == k)
+        .collect { case (w, i) if firstOwner(w.mkString(" ")) != ((id, i)) => i }
+        .flatMap(i => i until i + k).toSet
+      val keptText = toks.zipWithIndex.collect { case (tk, i) if !removed(i) => tk }.mkString(" ")
+      val (text, n, rem) = got(id)
+      assert(text == keptText, s"doc $id text: got '$text' want '$keptText'")
+      assert(n == toks.length && rem == removed.size, s"doc $id counts")
+    }
+    // headline facts
+    assert(got(1L)._1 == "a b c d e f" && got(2L)._1 == "",
+      "verbatim copy scrubs to empty, the keeper copy is untouched")
+    assert(got(4L)._1 == "s t", "doc shorter than k passes through")
+    // the applied removal mass equals the signals op's plan, doc for doc
+    val sig = Dedup.duplicatedWindowSpans(d, k).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    got.foreach { case (id, (_, _, rem)) =>
+      assert(rem == sig(id), s"doc $id: n_removed $rem != dup_tokens ${sig(id)}")
+    }
+  }
+
+  test("incremental dup spans: history digests flag delta windows; prefix history == batch") {
+    val k = 4
+    val history = docs((10L, "a b c d e f"))
+    val delta = docs(
+      (20L, "z z a b c d e f"), // last 3 windows hit history; "z z a b" is fresh
+      (21L, "z z a b c d e f")) // copy of 20: every window history- or delta-flagged
+    val got = Dedup.incrementalDupSpans(delta, Dedup.windowDigests(history, k), k)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet == Set(20L, 21L), "rows only for delta docs")
+    // doc 20: windows at 2,3,4 match history -> merged span [2,8) = 6 tokens
+    assert(got(20L) == ((8L, 3L, 6L, 0.75)), s"got ${got(20L)}")
+    // doc 21: all 5 windows flagged -> the whole 8 tokens
+    assert(got(21L) == ((8L, 5L, 8L, 1.0)), s"got ${got(21L)}")
+    // when every history id precedes every delta id, the incremental
+    // semantics coincide with the batch signals over the union
+    val hist2 = docs((1L, "p q r s t u"), (2L, "a b c d e f g"))
+    val delta2 = docs((30L, "a b c d e f"), (31L, "p q r s t u"), (32L, "k l m n o p"))
+    val inc = Dedup.incrementalDupSpans(delta2, Dedup.windowDigests(hist2, k), k)
+      .collect().map(_.toSeq).toSet
+    val batch = Dedup.duplicatedWindowSpans(hist2.unionByName(delta2), k)
+      .filter(col("doc_id") >= 30L).collect().map(_.toSeq).toSet
+    assert(inc == batch, s"prefix-history equivalence: $inc vs $batch")
+  }
+
   test("incremental near-dup: band matches vs the history store flag delta docs") {
     val history = docs((10L, "w1 w2 w3 w4 w5 w6 w7 w8"))
     val delta = docs(

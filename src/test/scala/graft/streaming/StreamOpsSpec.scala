@@ -381,6 +381,64 @@ class StreamOpsSpec extends AnyFunSuite {
       (2L, 1) -> 1), s"got $r")
   }
 
+  test("dupSpansStream: one micro-batch over a preloaded store equals the incremental batch op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 4
+    val history = Seq((10L, "a b c d e f")).toDF("doc_id", "text")
+    val delta = Seq(
+      (20L, "z z a b c d e f"), // last 3 windows hit history; "z z a b" fresh
+      (21L, "z z a b c d e f")) // copy of 20: every window flagged
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.dupSpansStream(
+      spark, mem.toDF().toDF("doc_id", "text"), k,
+      initialDigests = Some(graft.ops.Dedup.windowDigests(history, k)))
+      .writeStream.format("memory").queryName("dup_spans_stream")
+      .outputMode("append").start()
+    mem.addData(delta: _*)
+    q.processAllAvailable()
+    q.stop()
+    val flags = spark.table("dup_spans_stream").collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getInt(2))).toMap
+    // every window occurrence of every delta doc is emitted exactly once
+    assert(flags.keySet == Set(20L, 21L).flatMap(id => (0 to 4).map(id -> _)),
+      s"window event set: ${flags.keySet}")
+    // doc 20: starts 2,3,4 match history, 0,1 are fresh keepers;
+    // doc 21: everything is a history hit or a doc-20 delta dup
+    assert((0 to 4).map(i => flags((20L, i))) == Seq(0, 0, 1, 1, 1), s"doc 20: $flags")
+    assert((0 to 4).forall(i => flags((21L, i)) == 1), s"doc 21: $flags")
+    // fold the emitted flags into signals: must equal the batch op
+    val batch = graft.ops.Dedup.incrementalDupSpans(
+      delta.toDF("doc_id", "text"),
+      graft.ops.Dedup.windowDigests(history, k), k)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    Seq(20L, 21L).foreach { id =>
+      val starts = flags.collect { case ((d, s), 1) if d == id => s }.toSeq.sorted
+      val mass = starts.foldLeft((0L, 0L)) { case ((prevEnd, m), s) =>
+        (s + k.toLong, m + (s + k) - math.max(s.toLong, prevEnd))
+      }._2
+      assert(batch(id) == ((starts.size.toLong, mass)), s"doc $id: stream-folded signals != batch")
+    }
+  }
+
+  test("dupSpansStream: earlier-batch admission suppresses later re-occurrences") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 4
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.dupSpansStream(spark, mem.toDF().toDF("doc_id", "text"), k)
+      .writeStream.format("memory").queryName("dup_spans_incr")
+      .outputMode("append").start()
+    mem.addData((1L, "a b c d")) // the single window is admitted
+    q.processAllAvailable()
+    mem.addData((2L, "a b c d"), (3L, "w x y z")) // 2 re-occurs; 3 is fresh
+    q.processAllAvailable()
+    q.stop()
+    val r = spark.table("dup_spans_incr").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2))).toSet
+    assert(r == Set((1L, 0, 0), (2L, 0, 1), (3L, 0, 0)), s"got $r")
+  }
+
   test("nearDupStream: fingerprint-identical docs within the watermark are suppressed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
