@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   * composed the way a pretraining corpus build actually runs them —
   *
   *   filter policy (q42) → PII scrub (q41) → near-dup collapse (q37/
-  *   q26) → token-budget domain mix (q40) → partitioned corpus write
-  *   → sequence packing (q46) + token-shard write
+  *   q26) → exact-substring scrub (q49) → token-budget domain mix
+  *   (q40) → partitioned corpus write → sequence packing (q46) +
+  *   token-shard write
   *
   * and one JSON line of per-stage counts, including the policy's
   * drop-reason histogram. The point is composability: every stage
@@ -73,14 +74,27 @@ object DataPipeline {
     val reps = clusters.groupBy(col("cluster_id")).agg(min(col("doc_id")).as("doc_id"))
     val deduped = scrubbed.join(reps.select("doc_id"), Seq("doc_id")).localCheckpoint()
 
+    // 3b. exact-substring scrub (the q49 removal applied): cut verbatim
+    // k-token repeats that survive the DOCUMENT-level collapse — the
+    // RefinedWeb order (doc dedup, then substring removal, then mix).
+    // Downstream token counts see the SCRUBBED text, so the mixer
+    // budgets real tokens.
+    val spanScrubbed = Dedup.removeDuplicatedWindows(
+      deduped.select(col("doc_id"), col("text")), k = 12)
+      .join(deduped.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("text"), col("n_removed"))
+      .localCheckpoint()
+    val spanRemovedTokens = spanScrubbed
+      .agg(coalesce(sum(col("n_removed")), lit(0L))).head().getLong(0)
+
     // 4. token-budget domain mix over the surviving corpus
     val mixed = Sampling.tokenBudgetMixBucketed(
-      deduped, Map("en" -> 20000L, "de" -> 8000L), defaultBudget = 3000L)
+      spanScrubbed, Map("en" -> 20000L, "de" -> 8000L), defaultBudget = 3000L)
 
     // 5. partitioned corpus write (dynamic overwrite per lang, the
     // Resume write-option contract)
     val corpusOut = mixed.select(col("doc_id"), col("lang"), col("n_tokens"))
-      .join(deduped.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .join(spanScrubbed.select(col("doc_id"), col("text")), Seq("doc_id"))
     corpusOut.write
       .partitionBy("lang")
       .option("partitionOverwriteMode", "dynamic")
@@ -120,6 +134,7 @@ object DataPipeline {
       f"""{"docs_in":${corpus.count()},"bench_docs":${bench.count()},""" +
         f""""kept":${reasons.getOrElse("kept", 0L)},"reasons":$reasonJson,""" +
         f""""pii_docs":$piiDocs,"dedup_reps":${deduped.count()},""" +
+        f""""span_removed_tokens":$spanRemovedTokens,""" +
         f""""mixed_docs":$nMixed,"mixed_tokens":$nTokens,""" +
         f""""packed_shards":$nShards,"packed_spans":$nSpans,"sec":$sec%.3f,"out":"$outDir"}""")
     spark.stop()
