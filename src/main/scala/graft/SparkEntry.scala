@@ -427,6 +427,14 @@ object SparkEntry {
         docs.filter(col("doc_id") % 13 =!= 0),
         docs.filter(col("doc_id") % 13 === 0))
     }),
+    // attribution twin of q38: WHICH benchmark doc each training doc
+    // overlaps, by distinct shared 5-grams
+    "q51_contamination_pairs" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      TextOps.contaminationPairs(
+        docs.filter(col("doc_id") % 13 =!= 0),
+        docs.filter(col("doc_id") % 13 === 0))
+    }),
     "q39_repetition" -> ((s, dir) => TextOps.repetitionSignals(rd(s, dir, "documents"))),
     // data-mixture sampler on the bucketed scale path (spec-gated equal
     // to the single-window definition the oracle replays)
@@ -999,6 +1007,19 @@ h AS (SELECT doc_id, count(*) AS n FROM ds JOIN bs USING (shingle) GROUP BY 1)
 SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hit_shingles,
 CAST(CASE WHEN COALESCE(h.n, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
 FROM (SELECT doc_id FROM documents WHERE doc_id % 13 <> 0) d LEFT JOIN h USING (doc_id)""",
+    // attribution pairs: both sides' shingles deduped per doc (the
+    // shingleRows contract), joined, grouped by the pair
+    "q51_contamination_pairs" ->
+      """WITH bt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 13 = 0),
+bs AS (SELECT doc_id AS bench_id,
+  unnest(list_distinct(list_transform(generate_series(1, greatest(len(t) - 4, 0)),
+  i -> array_to_string(t[i:i+4], ' ')))) AS shingle FROM bt),
+dt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 13 <> 0),
+ds AS (SELECT doc_id,
+  unnest(list_distinct(list_transform(generate_series(1, greatest(len(t) - 4, 0)),
+  i -> array_to_string(t[i:i+4], ' ')))) AS shingle FROM dt)
+SELECT ds.doc_id, bs.bench_id, CAST(count(*) AS BIGINT) AS n_shared_shingles
+FROM ds JOIN bs USING (shingle) GROUP BY 1, 2""",
     // the groupBy-the-exploded-n-grams formulation: mode count == the
     // sorted-run length the Spark side computes row-locally
     "q39_repetition" ->

@@ -422,6 +422,14 @@ object Dedup {
     * A verbatim duplicate document scrubs to the empty string; docs
     * shorter than k pass through unchanged.
     *
+    * Honest caveat (as in Lee et al.): cutting a span ADJOINS the
+    * tokens on either side of it, so the scrubbed text can contain
+    * k-token windows that did not exist before and may themselves be
+    * duplicates — one pass guarantees every PRE-EXISTING duplicated
+    * window loses all but its keeper copy, not that the output is
+    * fixpoint-dup-free. Production builds that need the fixpoint
+    * iterate the op (each pass is this same bounded plan).
+    *
     * Scale posture: identical to the signals op up to the final stage —
     * the only addition is one (doc_id → sorted flagged starts) aggregate
     * (rows bounded by DUPLICATED window count, usually a small fraction

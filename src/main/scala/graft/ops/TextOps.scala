@@ -255,6 +255,43 @@ object TextOps {
         when(coalesce(col("n_hit_shingles"), lit(0L)) > 0, 1).otherwise(0).as("contaminated"))
   }
 
+  /** Contamination ATTRIBUTION — the review stage after
+    * [[decontaminate]]'s yes/no flag: WHICH benchmark document does a
+    * training document overlap, and by how many distinct k-grams. One
+    * row per (doc_id, bench_id) pair sharing at least one shingle,
+    * `n_shared_shingles` = the count of distinct k-grams they share
+    * (both sides deduped per doc by [[Dedup.shingleRows]]). A shingle
+    * present in several benchmark docs contributes one [[decontaminate]]
+    * hit but one pair row PER benchmark doc here — attribution
+    * multiplies, the flag does not (the spec pins flagged-set
+    * equality).
+    *
+    * Scale posture: same join shape as [[decontaminate]] — the
+    * benchmark (an eval set, MBs) broadcasts under
+    * `maxBroadcastShingles` with the shuffle-hash fallback above it —
+    * but keyed rows carry (bench_id, shingle) so the match survives to
+    * the pair aggregation. Output volume is bounded by actual
+    * contamination overlap, not corpus size; the docs-side scan never
+    * shuffles on the broadcast path.
+    */
+  def contaminationPairs(docs: DataFrame, benchmark: DataFrame, k: Int = 5,
+                         maxBroadcastShingles: Int = 5000000): DataFrame = {
+    // localCheckpoint for the same single-computation reason as
+    // decontaminate: the fit probe and the join both need the set
+    val benchShingles = Dedup.shingleRows(benchmark, k)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+      .localCheckpoint()
+    val fitsBroadcast =
+      benchShingles.limit(maxBroadcastShingles + 1).count() <= maxBroadcastShingles
+    val benchSide =
+      if (fitsBroadcast) broadcast(benchShingles)
+      else benchShingles.hint("shuffle_hash")
+    Dedup.shingleRows(docs, k)
+      .join(benchSide, Seq("shingle"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+  }
+
   /** The k-grams of a token array as row-local strings (space-joined,
     * every occurrence — NOT deduped like [[Dedup.shingleRows]]).
     * Callers must ensure size(toks) >= k (Spark's `sequence(1, n)`

@@ -373,6 +373,26 @@ class OpsSpec extends AnyFunSuite {
     assert(r(3L) == ((0L, 0)))
   }
 
+  test("contaminationPairs: per-benchmark attribution; flagged set equals decontaminate's") {
+    val bench = docs(
+      (100L, "one two three four five six"), // grams: "one..five", "two..six"
+      (101L, "one two three four five zz")) // shares "one two three four five" with 100
+    val train = docs(
+      (1L, "zz one two three four five yy"), // hits BOTH bench docs on the shared gram
+      (2L, "one two three four five six tail"), // 2 grams vs 100, 1 vs 101
+      (3L, "totally different words here indeed present"))
+    val pairs = TextOps.contaminationPairs(train, bench).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getLong(2))).toMap
+    // attribution multiplies per benchmark doc; the flag does not
+    assert(pairs == Map(
+      (1L, 100L) -> 1L, (1L, 101L) -> 1L,
+      (2L, 100L) -> 2L, (2L, 101L) -> 1L), s"got $pairs")
+    // the distinct flagged doc set must equal decontaminate's
+    val flagged = TextOps.decontaminate(train, bench).collect()
+      .collect { case r if r.getInt(2) == 1 => r.getLong(0) }.toSet
+    assert(pairs.keySet.map(_._1) == flagged, "attribution and flag disagree on the doc set")
+  }
+
   test("decontaminate fallback: shuffle semi-join path equals broadcast path; plans differ as asserted") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
