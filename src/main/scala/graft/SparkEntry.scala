@@ -509,6 +509,16 @@ object SparkEntry {
     // sequence packing: the concat-and-chunk plan into 512-token shards
     // (bucketed scale form; spec-gated equal to the single-window
     // definition the oracle replays)
+    // paragraph-granularity NEAR-dup: the q37 collapsed flow over the
+    // exploded paragraph table (packed (doc_id, para_idx) identities).
+    // minBands = 6 of 8 — the strict near-identical bar this synthetic
+    // corpus needs (its fixed vocab PERCOLATES 25-token paragraphs into
+    // giant components at the permissive minBands = 1, the same effect
+    // BENCH/BASELINE.md records for the DataPipeline demo at doc
+    // granularity; a real crawl's paragraphs are shingle-diverse)
+    "q52_paragraph_neardup" -> ((s, dir) =>
+      Dedup.paragraphNearDupClusters(
+        s, withSyntheticParagraphs(rd(s, dir, "documents")), minBands = 6)),
     "q46_sequence_pack" -> ((s, dir) =>
       Packing.packPlanBucketed(rd(s, dir, "documents"), seqLen = 512)),
     // exact-substring duplication signals (Lee et al.): per-doc mass of
@@ -1149,6 +1159,33 @@ SELECT doc_id,
   coalesce(string_agg(CASE WHEN rn = 1 THEN para END, E'\n\n' ORDER BY para_idx), '')
     AS text_dedup
 FROM flt GROUP BY doc_id""",
+    // paragraph near-dup: the q45 paragraph synthesis feeds the q37
+    // replay verbatim — packed ids (doc_id * 2^20 + para_idx), exact
+    // collapse by md5, minhash band pairs over the distinct texts, the
+    // shared recursive CC, members unpacked back to (doc_id, para_idx).
+    "q52_paragraph_neardup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+pi AS (SELECT doc_id, toks,
+  unnest(generate_series(0, CAST(greatest(1, (len(toks) + 24) // 25) AS INT) - 1)) AS para_idx
+  FROM t),
+pd AS (SELECT doc_id * 1048576 + para_idx AS doc_id,
+  array_to_string(list_slice(toks, para_idx * 25 + 1, para_idx * 25 + 25), ' ') AS text
+  FROM pi),
+reps AS (SELECT md5(text) AS dup_key, min(doc_id) AS rep_id FROM pd GROUP BY 1),
+rd AS (SELECT d.doc_id, d.text FROM pd d JOIN reps r ON r.rep_id = d.doc_id),
+${minhashBodyOver("rd")},
+prs AS (SELECT a.doc_id AS da, b.doc_id AS db
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 6),
+raw AS (SELECT lpad(CAST(da AS VARCHAR), 19, '0') AS src,
+               lpad(CAST(db AS VARCHAR), 19, '0') AS dst FROM prs),
+e AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+$ccLblCte
+SELECT d.doc_id // 1048576 AS doc_id,
+  CAST(d.doc_id % 1048576 AS INT) AS para_idx,
+  COALESCE(CAST(l.comp AS BIGINT), r.rep_id) AS cluster_id
+FROM pd d JOIN reps r ON md5(d.text) = r.dup_key
+LEFT JOIN lbl l ON lpad(CAST(r.rep_id AS VARCHAR), 19, '0') = l.node""",
     // sequence packing: exclusive-prefix token offsets in (md5, doc_id)
     // order; each doc explodes into every 512-token shard its range
     // overlaps, with the span arithmetic replayed in BIGINT.

@@ -831,6 +831,50 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"))
   }
 
+  /** Paragraph-granularity NEAR-dup clustering — the fourth cell of
+    * the dedup granularity matrix ({document, paragraph} × {exact,
+    * near}: q14/q37 cover documents, [[paragraphDedup]] is
+    * paragraph-exact, this is paragraph-near). Documents explode on
+    * `sep`, each paragraph takes the packed (doc_id, para_idx) long as
+    * its identity, and the q37 exact-dedup-first collapsed flow runs
+    * UNCHANGED over the paragraph table: identical paragraphs collapse
+    * to their global first occurrence (min packed id), LSH+CC clusters
+    * the distinct texts only, members inherit their rep's cluster.
+    * Output: (doc_id, para_idx, cluster_id), cluster_id the packed id
+    * of the cluster's minimum member — a boilerplate family spread
+    * across documents shares one cluster_id, including its
+    * NEAR-verbatim variants (the RefinedWeb case [[paragraphDedup]]'s
+    * exact digests miss).
+    *
+    * Scale posture: inherited from [[nearDupClustersCollapsed]] — the
+    * rep aggregate's shuffle is bounded by DISTINCT paragraphs (never
+    * boilerplate mass, the dominant dup class at paragraph
+    * granularity), LSH runs over distinct texts, the join-back is
+    * digest-keyed, and the mega-bucket guard applies unchanged.
+    */
+  def paragraphNearDupClusters(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame,
+      sep: String = "\n\n",
+      bands: Int = 8,
+      k: Int = 3,
+      minBands: Int = 1
+  ): DataFrame = {
+    val paras = docs
+      .select(
+        col("doc_id"),
+        posexplode(split(col("text"), java.util.regex.Pattern.quote(sep), -1))
+          .as(Seq("para_idx", "para")))
+      .select(
+        packedPos(col("doc_id"), col("para_idx"), "paragraphNearDupClusters").as("doc_id"),
+        col("para").as("text"))
+    nearDupClustersCollapsed(spark, paras, bands, k, minBands)
+      .select(
+        shiftrightunsigned(col("doc_id"), 20).as("doc_id"),
+        (col("doc_id") % lit(1L << 20)).cast("int").as("para_idx"),
+        col("cluster_id"))
+  }
+
   /** SimHash near-duplicates: pairs whose `bits`-bit simhash differs in
     * at most `maxHamming` bits. Candidates are blocked on
     * `maxHamming + 1` disjoint bit-bands of the fingerprint — by

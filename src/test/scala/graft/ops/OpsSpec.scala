@@ -185,6 +185,42 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("paragraph near-dup: packed-id collapsed flow, unpacked exactly; boilerplate and near-verbatim cluster") {
+    val corpus = Seq(
+      (1L, "a b c d e\n\nshared boiler plate text here"),
+      (2L, "shared boiler plate text here\n\nz y x w v"),
+      (3L, "totally different body of text indeed"),
+      // 4/5 paragraph 0: different TEXT, identical distinct-shingle set
+      // ({"p q r","q r p","r p q"}) -> identical signatures, all bands
+      // match deterministically — a guaranteed NEAR (non-exact) pair
+      (4L, "p q r p q r\n\nfiller one two three"),
+      (5L, "p q r p q r p q r\n\nother filler words here"))
+    val out = Dedup.paragraphNearDupClusters(spark, docs(corpus: _*)).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // every (doc, para) appears exactly once
+    val expectKeys = corpus
+      .flatMap { case (id, t) => t.split("\n\n", -1).indices.map(id -> _) }.toSet
+    assert(out.keySet == expectKeys, s"key set: ${out.keySet}")
+    // composition contract: identical to the collapsed flow over the
+    // manually-packed paragraph frame (deterministic whatever the bands do)
+    val packed = corpus.flatMap { case (id, t) =>
+      t.split("\n\n", -1).zipWithIndex.map { case (p, i) => (id * 1048576L + i, p) }
+    }
+    val ref = Dedup.nearDupClustersCollapsed(spark, docs(packed: _*)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case ((id, i), c) =>
+      assert(c == ref(id * 1048576L + i), s"($id,$i) diverges from the packed reference")
+    }
+    // exact cross-doc boilerplate shares a cluster (labelled by the
+    // global first occurrence, doc 1 para 1)
+    assert(out((1L, 1)) == out((2L, 0)) && out((1L, 1)) == 1L * 1048576L + 1L,
+      "shared paragraph must cluster to its first occurrence")
+    // the planted near-verbatim pair shares a cluster despite distinct digests
+    assert(out((4L, 0)) == out((5L, 0)), "equal-shingle-set paragraphs must cluster")
+    // unrelated paragraphs stay singletons labelled by themselves
+    assert(out((3L, 0)) == 3L * 1048576L)
+  }
+
   test("incremental dup spans: history digests flag delta windows; prefix history == batch") {
     val k = 4
     val history = docs((10L, "a b c d e f"))
