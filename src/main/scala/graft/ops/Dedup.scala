@@ -247,7 +247,12 @@ object Dedup {
     * 2^20 (1M positions per doc).
     */
   private def packedPos(docId: Column, pos: Column, op: String): Column =
-    shiftleft(docId, 20) + pos +
+    // widen BEFORE shifting: shiftleft preserves its input type, so an
+    // IntegerType doc_id column would wrap at 32 bits for ids >= 2^11
+    // while the (long-widened) guard below still passed — a silently
+    // wrong keeper election instead of the loud failure this guard is
+    // for
+    shiftleft(docId.cast("long"), 20) + pos +
       coalesce(
         assert_true(
           docId >= 0 && docId < (1L << 43) && pos < (1 << 20),
@@ -327,7 +332,7 @@ object Dedup {
     */
   def duplicatedWindowSpans(docs: DataFrame, k: Int = 50): DataFrame = {
     require(k >= 2, s"window width must be >= 2 tokens, got $k")
-    windowSpanSignals(docs, flaggedWindows(docs, k), k)
+    windowSpanSignals(docs, flaggedWindows(docs, k, "duplicatedWindowSpans"), k)
   }
 
   /** One (doc_id, strt, h) row per k-token window of `text`, `h` the
@@ -355,19 +360,37 @@ object Dedup {
   /** Every window occurrence with its duplicate flag: the GLOBAL first
     * (doc_id, strt) occurrence of each window value is the keeper
     * (packed-long HashAggregate min), every later occurrence reads
-    * `dup` = 1.
+    * `dup` = 1. With `historyWindows` set, a digest present in the
+    * stored history table flags EVERY occurrence regardless of the
+    * election (history always keeps) — the one place the incremental
+    * and batch flag rules differ, shared here so the election logic
+    * has exactly one copy. `op` names the caller in the packed-key
+    * overflow guard's failure message.
     */
-  private def flaggedWindows(docs: DataFrame, k: Int): DataFrame = {
+  private def flaggedWindows(
+      docs: DataFrame,
+      k: Int,
+      op: String,
+      historyWindows: Option[DataFrame] = None): DataFrame = {
     val occ = windowOcc(docs, k)
     val keepers = occ
       .groupBy(col("h"))
-      .agg(min(packedPos(col("doc_id"), col("strt"), "duplicatedWindowSpans")).as("keep"))
-    occ
-      .join(keepers, Seq("h"))
-      .withColumn(
-        "dup",
-        (packedPos(col("doc_id"), col("strt"), "duplicatedWindowSpans") =!= col("keep"))
-          .cast("long"))
+      .agg(min(packedPos(col("doc_id"), col("strt"), op)).as("keep"))
+    val elected = occ.join(keepers, Seq("h"))
+    val flagged = historyWindows match {
+      case Some(hw) =>
+        elected
+          .join(hw.select(col("h")).distinct().withColumn("in_hist", lit(1)), Seq("h"), "left")
+          .withColumn(
+            "dup",
+            (col("in_hist").isNotNull ||
+              packedPos(col("doc_id"), col("strt"), op) =!= col("keep")).cast("long"))
+      case None =>
+        elected.withColumn(
+          "dup",
+          (packedPos(col("doc_id"), col("strt"), op) =!= col("keep")).cast("long"))
+    }
+    flagged.select(col("doc_id"), col("strt"), col("dup"))
   }
 
   /** Per-doc merged-span signals over `flagged` (doc_id, strt, dup)
@@ -434,31 +457,50 @@ object Dedup {
     * the only addition is one (doc_id → sorted flagged starts) aggregate
     * (rows bounded by DUPLICATED window count, usually a small fraction
     * of corpus windows) joined back onto the docs scan, and a row-local
-    * token filter against the doc's own removal intervals. Text is
-    * reassembled with the same split/concat_ws(" ") inverse pair, so a
-    * doc with no flagged window round-trips byte-identically.
+    * LINEAR sweep over the doc's own sorted removal starts. Text is
+    * reassembled by the same split-on-space / single-space-join inverse
+    * pair, so a doc with no flagged window round-trips byte-identically.
     */
   def removeDuplicatedWindows(docs: DataFrame, k: Int = 50): DataFrame = {
     require(k >= 2, s"window width must be >= 2 tokens, got $k")
-    val removal = flaggedWindows(docs, k)
+    val removal = flaggedWindows(docs, k, "removeDuplicatedWindows")
       .filter(col("dup") === 1)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("strt"))).as("starts"))
-    val toks = split(col("text"), " ", -1)
-    // docs with nothing to remove miss the join: empty start list
-    // (typed empty literal — array() alone is array<null> and fails
-    // analysis)
-    val st = coalesce(col("starts"), typedLit(Array.empty[Int]))
-    // token i survives unless some flagged window [s, s+k) covers it;
-    // starts are this doc's own flagged windows — row-local, no shuffle
-    val kept = filter(toks, (_, i) => !exists(st, s => i >= s && i < s + k))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // row-local LINEAR sweep (typed map, like shingleRows): starts are
+    // ascending, so one pointer over them and a running covered-end
+    // rebuild the text in O(n_tokens + n_flagged). The earlier
+    // exists()-HOF per token was O(n_tokens x n_flagged) — quadratic
+    // exactly on this op's target case, a long mostly-duplicated doc.
     docs
       .join(removal, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        concat_ws(" ", kept).as("text"),
-        size(toks).cast("long").as("n_tokens"),
-        (size(toks) - size(kept)).cast("long").as("n_removed"))
+      .select(col("doc_id").cast("long"), col("text"), col("starts"))
+      .as[(Long, String, Option[Seq[Int]])]
+      .map { case (id, text, startsOpt) =>
+        val toks = text.split(" ", -1)
+        val starts = startsOpt.getOrElse(Seq.empty)
+        val kept = new StringBuilder
+        var si = 0; var covEnd = -1L; var removed = 0L; var first = true
+        var i = 0
+        while (i < toks.length) {
+          while (si < starts.length && starts(si) <= i) {
+            val e = starts(si).toLong + k
+            if (e > covEnd) covEnd = e
+            si += 1
+          }
+          if (i < covEnd) removed += 1
+          else {
+            if (!first) kept.append(' ')
+            kept.append(toks(i))
+            first = false
+          }
+          i += 1
+        }
+        (id, kept.toString, toks.length.toLong, removed)
+      }
+      .toDF("doc_id", "text", "n_tokens", "n_removed")
   }
 
   /** The stored projection for [[incrementalDupSpans]]: the distinct
@@ -493,20 +535,10 @@ object Dedup {
     */
   def incrementalDupSpans(delta: DataFrame, historyWindows: DataFrame, k: Int = 50): DataFrame = {
     require(k >= 2, s"window width must be >= 2 tokens, got $k")
-    val occ = windowOcc(delta, k)
-    val keepers = occ
-      .groupBy(col("h"))
-      .agg(min(packedPos(col("doc_id"), col("strt"), "incrementalDupSpans")).as("keep"))
-    val hist = historyWindows.select(col("h")).distinct().withColumn("in_hist", lit(1))
-    val flagged = occ
-      .join(keepers, Seq("h"))
-      .join(hist, Seq("h"), "left")
-      .withColumn(
-        "dup",
-        (col("in_hist").isNotNull ||
-          packedPos(col("doc_id"), col("strt"), "incrementalDupSpans") =!= col("keep"))
-          .cast("long"))
-    windowSpanSignals(delta, flagged.select(col("doc_id"), col("strt"), col("dup")), k)
+    windowSpanSignals(
+      delta,
+      flaggedWindows(delta, k, "incrementalDupSpans", Some(historyWindows)),
+      k)
   }
 
   /** Word k-gram shingles of `text` as a distinct array. */

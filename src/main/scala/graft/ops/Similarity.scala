@@ -342,12 +342,22 @@ object Similarity {
           while (i < emb.length) { na += emb(i) * emb(i); i += 1 }
         }
         // top-`take` insertion scan instead of a full boxed sort: cells
-        // are visited in ASCENDING id order with a STRICT primitive `<`
-        // displacement test, which is exactly the (neg_cos, cell)
-        // struct order — equal neg_cos (incl. -0.0 vs 0.0, equal under
-        // Spark's non-NaN compare) never displaces an earlier id.
+        // are visited in ASCENDING id order with a displacement test
+        // matching Spark's struct order exactly — strict `<` for
+        // ordinary doubles (so equal neg_cos, incl. -0.0 vs 0.0, never
+        // displaces an earlier id), NaN ABOVE every double incl.
+        // MaxValue (Spark sorts NaN last ascending — a NaN-carrying
+        // embedding must still fill real cells in id order, not phantom
+        // sentinels), and an explicit empty-slot model (bestCell ==
+        // Int.MaxValue, never a real id) so degenerate rows — null /
+        // zero-norm (all +inf) or NaN-poisoned (all NaN) — fill their
+        // probe list in cell-id order like the literal path's sort.
         var k = 0
         while (k < take) { bestNeg(k) = Double.MaxValue; bestCell(k) = Int.MaxValue; k += 1 }
+        // Spark double order: finite/±inf by `<`, NaN greater than all
+        @inline def ltSpark(a: Double, b: Double): Boolean =
+          if (java.lang.Double.isNaN(a)) false
+          else java.lang.Double.isNaN(b) || a < b
         var c = 0
         while (c < n) {
           val cv = cents(c)
@@ -360,21 +370,14 @@ object Similarity {
               if (na == 0.0 || nb == 0.0) Double.MaxValue
               else -(dot / math.sqrt(na * nb))
             }
-          if (neg < bestNeg(take - 1)) {
+          if (bestCell(take - 1) == Int.MaxValue || ltSpark(neg, bestNeg(take - 1))) {
             var pos = take - 1
-            while (pos > 0 && neg < bestNeg(pos - 1)) {
+            while (pos > 0 &&
+              (bestCell(pos - 1) == Int.MaxValue || ltSpark(neg, bestNeg(pos - 1)))) {
               bestNeg(pos) = bestNeg(pos - 1); bestCell(pos) = bestCell(pos - 1)
               pos -= 1
             }
             bestNeg(pos) = neg; bestCell(pos) = ids(c)
-          } else if (neg == Double.MaxValue && bestNeg(take - 1) == Double.MaxValue &&
-            bestCell(take - 1) == Int.MaxValue) {
-            // degenerate all-+inf rows (null/zero-norm embedding) still
-            // fill their probe list in cell-id order, like the literal
-            // path's sort of an all-MaxValue array
-            var pos = 0
-            while (pos < take && bestCell(pos) != Int.MaxValue) pos += 1
-            if (pos < take) { bestNeg(pos) = neg; bestCell(pos) = ids(c) }
           }
           c += 1
         }

@@ -224,10 +224,16 @@ object StreamOps {
       // delta stream is suppressed against HISTORY, not just against
       // what this stream has seen. History vectors are assigned with
       // the SAME static centroid snapshot (batch ivfAssign) and each
-      // cell's ring keeps its most recent maxPerCell in vec_id order —
-      // exactly the eviction state a live stream would hold had it
-      // ingested history in id order, so preloaded and organically
-      // grown state are indistinguishable to the operator.
+      // cell's ring is built by REPLAYING the stream's own admission
+      // rule over the history in vec_id order (a near-dup history
+      // vector is skipped, an admitted one appends and evicts) — the
+      // raw takeRight of history rows would differ whenever the recent
+      // history itself contains near-dups, silently admitting deltas
+      // the organic stream would suppress. With the replay, preloaded
+      // and organically grown state are indistinguishable by
+      // construction (spec-gated). Each cell's history is materialized
+      // to sort by vec_id — bounded by per-cell history, the same
+      // bound the micro-batch fold below already assumes per batch.
       case Some(hist) =>
         val initState = graft.ops.Similarity
           .ivfAssign(hist, centroids)
@@ -235,7 +241,12 @@ object StreamOps {
           .as[(Int, Long, Seq[Float])]
           .groupByKey(_._1)
           .mapGroups { (cell, it) =>
-            cell -> BucketRing(it.toSeq.sortBy(_._2).takeRight(maxPerCell).map(_._3))
+            var ring = Vector.empty[Seq[Float]]
+            it.toArray.sortBy(_._2).foreach { case (_, _, vec) =>
+              if (!ring.exists(v => cosF(v, vec) >= threshold))
+                ring = (ring :+ vec).takeRight(maxPerCell)
+            }
+            cell -> BucketRing(ring)
           }
           .groupByKey(_._1)
           .mapValues(_._2)

@@ -93,8 +93,13 @@ object DataPipeline {
 
     // 5. partitioned corpus write (dynamic overwrite per lang, the
     // Resume write-option contract)
+    // stage boundary (the file's own rule): corpusOut feeds the corpus
+    // write, the mixed-count agg, the packing plan, and the span
+    // join-back — uncheckpointed, the mix window + join lineage would
+    // re-run for each
     val corpusOut = mixed.select(col("doc_id"), col("lang"), col("n_tokens"))
       .join(spanScrubbed.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .localCheckpoint()
     corpusOut.write
       .partitionBy("lang")
       .option("partitionOverwriteMode", "dynamic")
@@ -117,6 +122,7 @@ object DataPipeline {
     val plan = Packing.packPlanBucketed(corpusOut, seqLen = 512)
     val shards = Packing.packedSpans(plan, corpusOut)
       .withColumn("shard_dir", expr("shard_id div 64"))
+      .localCheckpoint() // written AND counted below — one computation
     shards.write
       .partitionBy("shard_dir")
       .option("partitionOverwriteMode", "dynamic")

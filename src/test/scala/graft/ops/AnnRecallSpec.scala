@@ -201,9 +201,14 @@ class AnnRecallSpec extends AnyFunSuite {
         .toMap
 
     // float corpus, incl. a zero-norm vector (+inf guard on both paths)
+    // and a NaN-poisoned vector — every centroid scores NaN, which
+    // Spark sorts ABOVE MaxValue; the broadcast scan must fill REAL
+    // cells in id order for it, not phantom Int.MaxValue sentinels
     import spark.implicits._
     val f = (clustered.as[(Long, Seq[Float])].collect().toSeq :+
-      ((999L, Seq.fill(16)(0.0f)))).toDF("vec_id", "embedding").cache()
+      ((999L, Seq.fill(16)(0.0f))) :+
+      ((998L, Seq.tabulate(16)(j => if (j == 3) Float.NaN else 0.5f))))
+      .toDF("vec_id", "embedding").cache()
     val cf = Similarity.ivfCentroids(f, 24)
     assert(cellsOf(f, cf, 3, force = false) == cellsOf(f, cf, 3, force = true))
 
@@ -220,7 +225,10 @@ class AnnRecallSpec extends AnyFunSuite {
       Similarity.withNearestCells(f, cf, 1, "cells", Some(force))
         .select(col("vec_id"), element_at(col("cells"), 1).getField("cell").as("cell"))
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(assignVia(false) == assignVia(true))
+    val aLit = assignVia(false)
+    assert(aLit == assignVia(true))
+    // the NaN row lands in a REAL cell on both paths
+    assert(cf.map(_._1).contains(aLit(998L)), s"NaN row assigned phantom cell ${aLit(998L)}")
     f.unpersist(); d.unpersist()
   }
 

@@ -146,6 +146,19 @@ class OpsSpec extends AnyFunSuite {
     assert(got(4L) == ((2L, 0L, 0L, 0.0)), "short doc must read 0/0/0")
   }
 
+  test("packed keeper election widens Int doc_id columns before shifting (no 32-bit wrap)") {
+    import spark.implicits._
+    // 5096 - 1000 = 4096 = 2^12: with an IntegerType doc_id column,
+    // 1000 << 20 and 5096 << 20 COLLIDE at 32 bits — an unwidened
+    // shift makes both rows read as the keeper (the range guard still
+    // passes, so the wrap would be silent)
+    val d = Seq((1000, "shared boiler"), (5096, "shared boiler")).toDF("doc_id", "text")
+    val r = Dedup.paragraphDedup(d).collect()
+      .map(x => x.getInt(0) -> ((x.getLong(2), x.getString(3)))).toMap
+    assert(r(1000) == ((1L, "shared boiler")))
+    assert(r(5096) == ((0L, "")), s"32-bit packed-key collision elected a false keeper: ${r(5096)}")
+  }
+
   test("dup span removal: scrubbed text drops exactly the flagged spans; clean docs round-trip") {
     val k = 4
     val corpus = Seq(

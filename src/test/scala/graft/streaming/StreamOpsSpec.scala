@@ -255,6 +255,36 @@ class StreamOpsSpec extends AnyFunSuite {
       s"history dups must be suppressed from the FIRST batch, got $ids")
   }
 
+  test("ivfDedupStream: preload REPLAYS the admission rule — dup-laden history stays suppressive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def basis(i: Int, eps: Float = 0f): Seq[Float] =
+      Seq.tabulate(8)(d => if (d == i) 1f else if (d == (i + 1) % 8) eps else 0f)
+    val centroids = Seq((0, basis(0)))
+    // history in id order: v1 (distinct), then v2 and two near-copies.
+    // A live stream with maxPerCell=2 admits v1, v2 and SKIPS the
+    // copies, leaving ring [v1, v2]; a raw takeRight(2) preload would
+    // instead hold the two copies and let a delta near v1 through.
+    val history = Seq(
+      (1L, basis(0, 0.010f)), // v1
+      (2L, basis(1, 0.010f)), // v2 (distinct from v1)
+      (3L, basis(1, 0.011f)), // ≈ v2: a live stream skips it
+      (4L, basis(1, 0.012f))) // ≈ v2: skipped too
+      .toDF("vec_id", "embedding")
+    val mem = MemoryStream[StreamOps.EmbRow]
+    val q = StreamOps.ivfDedupStream(
+      spark, mem.toDS(), centroids, threshold = 0.999, maxPerCell = 2,
+      historyVecs = Some(history))
+      .writeStream.format("memory").queryName("ivf_dedup_replay")
+      .outputMode("append").start()
+    mem.addData(StreamOps.EmbRow(10L, basis(0, 0.0101f))) // ≈ v1: must be suppressed
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("ivf_dedup_replay").collect().map(_.getLong(0)).toSeq
+    assert(ids.isEmpty,
+      s"delta near an ADMITTED history vector must be suppressed, got $ids")
+  }
+
   test("incrementalDedupStream: preloaded fingerprint store + cross-batch admission") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
