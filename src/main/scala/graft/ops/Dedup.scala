@@ -323,16 +323,19 @@ object Dedup {
     * keeps one canonical copy (a removal plan).
     *
     * Scale posture: the window explode is n_tokens rows per doc — the
-    * same volume class every shingle op here already pays — and the
-    * keeper election is the packed-long HashAggregate min (map-side
-    * combine bounds the shuffle by distinct windows). Window text is
-    * hashed to the md5 hex digest before the shuffle, so 32-byte keys
-    * travel, never k-token strings; span merging never shuffles (one
-    * sorted fold inside the doc's aggregation row).
+    * same volume class every shingle op here already pays, built in a
+    * typed mapPartitions (the HOF form was measured 15× slower, see
+    * [[windowOcc]]) — and the keeper election is ONE row_number window
+    * over hash-partitioned digests (measured 2× the min-aggregate +
+    * join-back form, which shuffles occ twice — see
+    * [[flaggedWindows]]). Window text is hashed to the md5 hex digest
+    * before the shuffle, so 32-byte keys travel, never k-token
+    * strings; span merging never shuffles (one sorted fold inside the
+    * doc's aggregation row).
     */
   def duplicatedWindowSpans(docs: DataFrame, k: Int = 50): DataFrame = {
     require(k >= 2, s"window width must be >= 2 tokens, got $k")
-    windowSpanSignals(docs, flaggedWindows(docs, k, "duplicatedWindowSpans"), k)
+    windowSpanSignals(docs, flaggedWindows(docs, k), k)
   }
 
   /** One (doc_id, strt, h) row per k-token window of `text`, `h` the
@@ -343,52 +346,81 @@ object Dedup {
     * k-token strings.
     */
   private[graft] def windowOcc(docs: DataFrame, k: Int): DataFrame = {
-    val toks = split(col("text"), " ", -1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // typed mapPartitions, not a transform/slice HOF expression: the
+    // same lesson as [[shingleRows]] (higher-order functions are
+    // CodegenFallback and slice allocates per element — the HOF form
+    // measured 23.5 s for this explode at sf1 vs ~2 s typed, and the
+    // join evaluates occ TWICE). MessageDigest is initialized once per
+    // partition; the hex digest equals Spark's md5() and DuckDB's
+    // md5() byte-for-byte (lowercase hex of the UTF-8 window string).
     docs
-      .select(
-        col("doc_id"),
-        posexplode(
-          filter(
-            transform(toks, (_, i) => when(i <= size(toks) - k, concat_ws(" ", slice(toks, i + 1, lit(k))))),
-            x => x.isNotNull))
-          .as(Seq("strt", "win")))
-      .select(
-        col("doc_id"), col("strt"),
-        md5(to_binary(col("win"), lit("utf-8"))).as("h"))
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hexChars = "0123456789abcdef".toCharArray
+        rows.flatMap { case (id, text) =>
+          val toks = text.split(" ", -1)
+          if (toks.length < k) Iterator.empty
+          else (0 to toks.length - k).iterator.map { s =>
+            val sb = new java.lang.StringBuilder
+            var i = s
+            while (i < s + k) {
+              if (i > s) sb.append(' ')
+              sb.append(toks(i))
+              i += 1
+            }
+            md.reset()
+            val d = md.digest(
+              sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val hx = new Array[Char](32)
+            var j = 0
+            while (j < 16) {
+              hx(2 * j) = hexChars((d(j) >> 4) & 0xf)
+              hx(2 * j + 1) = hexChars(d(j) & 0xf)
+              j += 1
+            }
+            (id, s, new String(hx))
+          }
+        }
+      }
+      .toDF("doc_id", "strt", "h")
   }
 
   /** Every window occurrence with its duplicate flag: the GLOBAL first
-    * (doc_id, strt) occurrence of each window value is the keeper
-    * (packed-long HashAggregate min), every later occurrence reads
-    * `dup` = 1. With `historyWindows` set, a digest present in the
-    * stored history table flags EVERY occurrence regardless of the
-    * election (history always keeps) — the one place the incremental
-    * and batch flag rules differ, shared here so the election logic
-    * has exactly one copy. `op` names the caller in the packed-key
-    * overflow guard's failure message.
+    * (doc_id, strt) occurrence of each window value is the keeper —
+    * `row_number` over (h | doc_id, strt) = 1, the exact formulation
+    * the DuckDB oracles replay — and every later occurrence reads
+    * `dup` = 1. The window form was MEASURED against the packed-long
+    * min-aggregate + join-back election (DebugDupRemoval, sf1 2.2M
+    * windows): 5.2 s vs 10.1 s — the aggregate form shuffles occ
+    * twice (keeper build + probe side) where one hash-partition-by-h
+    * sort does it in a single pass, and no packed key means no
+    * overflow guard at all. With `historyWindows` set, a digest
+    * present in the stored history table flags EVERY occurrence
+    * regardless of the election (history always keeps) — the one
+    * place the incremental and batch flag rules differ, shared here
+    * so the election logic has exactly one copy; the history join is
+    * keyed on h, the partitioning the window exchange already
+    * established.
     */
   private def flaggedWindows(
       docs: DataFrame,
       k: Int,
-      op: String,
       historyWindows: Option[DataFrame] = None): DataFrame = {
     val occ = windowOcc(docs, k)
-    val keepers = occ
-      .groupBy(col("h"))
-      .agg(min(packedPos(col("doc_id"), col("strt"), op)).as("keep"))
-    val elected = occ.join(keepers, Seq("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"), col("strt"))
+    val elected = occ.withColumn("rn", row_number().over(w))
     val flagged = historyWindows match {
       case Some(hw) =>
         elected
           .join(hw.select(col("h")).distinct().withColumn("in_hist", lit(1)), Seq("h"), "left")
-          .withColumn(
-            "dup",
-            (col("in_hist").isNotNull ||
-              packedPos(col("doc_id"), col("strt"), op) =!= col("keep")).cast("long"))
+          .withColumn("dup", (col("in_hist").isNotNull || col("rn") > 1).cast("long"))
       case None =>
-        elected.withColumn(
-          "dup",
-          (packedPos(col("doc_id"), col("strt"), op) =!= col("keep")).cast("long"))
+        elected.withColumn("dup", (col("rn") > 1).cast("long"))
     }
     flagged.select(col("doc_id"), col("strt"), col("dup"))
   }
@@ -463,7 +495,7 @@ object Dedup {
     */
   def removeDuplicatedWindows(docs: DataFrame, k: Int = 50): DataFrame = {
     require(k >= 2, s"window width must be >= 2 tokens, got $k")
-    val removal = flaggedWindows(docs, k, "removeDuplicatedWindows")
+    val removal = flaggedWindows(docs, k)
       .filter(col("dup") === 1)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("strt"))).as("starts"))
@@ -476,11 +508,12 @@ object Dedup {
     // exactly on this op's target case, a long mostly-duplicated doc.
     docs
       .join(removal, Seq("doc_id"), "left")
-      .select(col("doc_id").cast("long"), col("text"), col("starts"))
-      .as[(Long, String, Option[Seq[Int]])]
-      .map { case (id, text, startsOpt) =>
+      .select(
+        col("doc_id").cast("long"), col("text"),
+        coalesce(col("starts"), typedLit(Array.empty[Int])).as("starts"))
+      .as[(Long, String, Seq[Int])]
+      .map { case (id, text, starts) =>
         val toks = text.split(" ", -1)
-        val starts = startsOpt.getOrElse(Seq.empty)
         val kept = new StringBuilder
         var si = 0; var covEnd = -1L; var removed = 0L; var first = true
         var i = 0
@@ -537,7 +570,7 @@ object Dedup {
     require(k >= 2, s"window width must be >= 2 tokens, got $k")
     windowSpanSignals(
       delta,
-      flaggedWindows(delta, k, "incrementalDupSpans", Some(historyWindows)),
+      flaggedWindows(delta, k, Some(historyWindows)),
       k)
   }
 
