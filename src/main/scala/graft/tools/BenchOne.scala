@@ -7,7 +7,8 @@ import org.apache.spark.sql.SparkSession
   * query's cost at a given SF without paying for the whole `graft.Bench`
   * catalog (13+ min at sf1). Same session config as Bench (local[cpus],
   * ParallelGC comes from build.sbt javaOptions, shuffle partitions =
-  * cpus), count() as the action.
+  * cpus), a noop write as the action (see Bench.materialize) followed
+  * by an untimed count for the rows field.
   *
   * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.tools.BenchOne <query> [n]
   */
@@ -25,9 +26,10 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fn = SparkEntry.queries(name)
+    val rows = fn(spark, sfDir).count() // untimed: the rows field only
     val times = (1 to n).map { i =>
       val t0 = System.nanoTime()
-      val rows = fn(spark, sfDir).count()
+      graft.Bench.materialize(fn(spark, sfDir))
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"query":"$name","try":$i,"sec":$sec%.3f,"rows":$rows}""")
       sec
