@@ -1075,22 +1075,73 @@ object Dedup {
 
   /** Jaccard similarity over distinct word k-grams for an explicit pair
     * set `(doc_a, doc_b)`. Used as the LSH verifier.
+    *
+    * Shape (round-8 rewrite, q17 33.2 s → typed at sf1): the former
+    * per-pair `array_intersect`/`array_union` built a hash set per
+    * evaluation AND the union subtree appeared twice (empty-union guard
+    * + divisor), on shingle arrays produced by the interpreted
+    * [[shingles]] HOF — re-evaluated once per join side. Now each doc's
+    * SORTED distinct shingle array is built once in a typed pass (same
+    * sliding-window + distinct semantics as [[shingleRows]]), and each
+    * pair's |∩| comes from ONE linear merge over the two sorted arrays;
+    * |∪| = |A| + |B| − |∩| (the arrays are sets). Only the counts
+    * escape the typed region — the division and 4-decimal rounding stay
+    * Column expressions, so values are bit-identical to the set-algebra
+    * form the oracle pins, including the null-on-empty-union contract.
     */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, k: Int = 3): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingles(col("text"), k).as("sh"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docs
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.split(" ", -1)
+        if (toks.length < k) (id, Array.empty[String])
+        else {
+          val seen = new java.util.HashSet[String](math.max(16, toks.length * 2))
+          var i = 0
+          while (i <= toks.length - k) {
+            val sb = new java.lang.StringBuilder
+            var j = i
+            while (j < i + k) {
+              if (j > i) sb.append(' ')
+              sb.append(toks(j))
+              j += 1
+            }
+            seen.add(sb.toString)
+            i += 1
+          }
+          val arr = seen.toArray(new Array[String](seen.size))
+          java.util.Arrays.sort(arr.asInstanceOf[Array[AnyRef]])
+          (id, arr)
+        }
+      }
+      .toDF("doc_id", "sh")
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"), col("sh_a"), col("sh_b"))
+      .as[(Long, Long, Array[String], Array[String])]
+      .map { case (a, b, sa, sb) =>
+        var i = 0; var j = 0; var inter = 0L
+        while (i < sa.length && j < sb.length) {
+          val c = sa(i).compareTo(sb(j))
+          if (c == 0) { inter += 1; i += 1; j += 1 }
+          else if (c < 0) i += 1
+          else j += 1
+        }
+        (a, b, inter, sa.length.toLong + sb.length - inter)
+      }
+      .toDF("doc_a", "doc_b", "n_inter", "n_union")
       .select(
         col("doc_a"),
         col("doc_b"),
         // null (not an ANSI 0/0 crash) when BOTH docs are shorter than
         // k tokens — empty shingle union; the DuckDB twin yields NULL
         round(
-          when(size(array_union(col("sh_a"), col("sh_b"))) === 0, lit(null).cast("double"))
-            .otherwise(
-              size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-                size(array_union(col("sh_a"), col("sh_b")))),
+          when(col("n_union") === 0, lit(null).cast("double"))
+            .otherwise(col("n_inter").cast("double") / col("n_union")),
           4
         ).as("jaccard")
       )

@@ -292,41 +292,75 @@ object TextOps {
       .agg(count(lit(1)).as("n_shared_shingles"))
   }
 
-  /** The k-grams of a token array as row-local strings (space-joined,
-    * every occurrence — NOT deduped like [[Dedup.shingleRows]]).
-    * Callers must ensure size(toks) >= k (Spark's `sequence(1, n)`
-    * DESCENDS when n < 1 instead of returning empty).
+  /** Row-local n-gram repetition counters for ONE tokenized document:
+    * (bigram mode count, trigram duplicate mass — the total number of
+    * trigram occurrences whose value appears more than once). Shared by
+    * [[repetitionSignals]] (needs both) and [[filterPolicy]] (bigram
+    * mode only; `withTrigrams = false` skips the trigram pass).
+    *
+    * This replaces the former sorted-array `aggregate()` fold: array
+    * higher-order functions are CodegenFallback (interpreted
+    * per-element evaluation with per-element allocation), and the fold
+    * plus the `transform`-built n-gram arrays carried a ~10× constant
+    * on the scan stage (q39 read 56.9 s at sf1; the same HOF→typed
+    * rewrite took the dup-spans window explode 23.5→1.6 s —
+    * [[graft.ops.Dedup.windowOcc]]). The counts are equal by
+    * definition: the longest run of a sorted n-gram array IS the mode's
+    * multiplicity, and run mass in runs >1 IS the occurrence mass of
+    * repeated values.
+    *
+    * No n-gram STRING is ever built: tokens are interned to per-doc
+    * dense int ids, bigrams keyed as packed (idA, idB) longs and
+    * trigrams as packed (bigram id, idC) longs — dense ids, not hashes,
+    * so distinct n-grams cannot collide and every count is exact.
     */
-  private def ngramsCol(toks: Column, k: Int): Column =
-    transform(
-      sequence(lit(1), size(toks) - (k - 1)),
-      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + lit(j))): _*))
-
-  /** One pass over a SORTED array computing run statistics:
-    * struct(best = longest run length, dup = total elements in runs of
-    * length > 1). `best` equals the mode's count and `dup` the mass of
-    * repeated values — computed row-locally so the whole repetition
-    * profile never shuffles.
-    */
-  private def runStats(sorted: Column): Column =
-    aggregate(
-      sorted,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"), lit(0L).as("dup")),
-      (acc, x) => {
-        val same = x === acc.getField("prev")
-        val run = when(same, acc.getField("run") + 1).otherwise(lit(1L))
-        val closed = when(!same && acc.getField("run") > 1, acc.getField("run"))
-          .otherwise(lit(0L))
-        struct(
-          x.as("prev"),
-          run.as("run"),
-          greatest(acc.getField("best"), run).as("best"),
-          (acc.getField("dup") + closed).as("dup"))
-      },
-      acc => struct(
-        acc.getField("best").as("best"),
-        (acc.getField("dup") +
-          when(acc.getField("run") > 1, acc.getField("run")).otherwise(lit(0L))).as("dup")))
+  private[ops] def ngramRepetition(toks: Array[String], withTrigrams: Boolean): (Long, Long) = {
+    val n = toks.length
+    val ids = new java.util.HashMap[String, Integer](math.max(16, n * 2))
+    val tokIds = new Array[Int](n)
+    var next = 0
+    var i = 0
+    while (i < n) {
+      val prev = ids.putIfAbsent(toks(i), next)
+      if (prev == null) { tokIds(i) = next; next += 1 } else tokIds(i) = prev.intValue
+      i += 1
+    }
+    // bigram key = (idA << 32 | idB); value = (dense bigram id << 32 | count).
+    // count < 2^31 (bounded by n) so the increment can never carry into
+    // the id bits; value >= 0 always, so -1L is a safe absent sentinel.
+    val bg = new scala.collection.mutable.LongMap[Long](math.max(16, n))
+    val bgIdAt = if (withTrigrams && n >= 3) new Array[Int](n - 1) else null
+    var best = 0L
+    var nextBg = 0
+    i = 0
+    while (i < n - 1) {
+      val key = (tokIds(i).toLong << 32) | tokIds(i + 1).toLong
+      val v = bg.getOrElse(key, -1L)
+      if (v < 0L) {
+        bg.update(key, (nextBg.toLong << 32) | 1L)
+        if (bgIdAt != null) bgIdAt(i) = nextBg
+        nextBg += 1
+        if (best < 1L) best = 1L
+      } else {
+        val cnt = (v & 0xffffffffL) + 1L
+        bg.update(key, (v & ~0xffffffffL) | cnt)
+        if (bgIdAt != null) bgIdAt(i) = (v >>> 32).toInt
+        if (cnt > best) best = cnt
+      }
+      i += 1
+    }
+    if (bgIdAt == null) return (best, 0L)
+    val tg = new scala.collection.mutable.LongMap[Long](math.max(16, n))
+    i = 0
+    while (i < n - 2) {
+      val key = (bgIdAt(i).toLong << 32) | tokIds(i + 2).toLong
+      tg.update(key, tg.getOrElse(key, 0L) + 1L)
+      i += 1
+    }
+    var dup = 0L
+    tg.foreachValue(c => if (c > 1L) dup += c)
+    (best, dup)
+  }
 
   /** Repetition signals (the Gopher/MassiveText repetition filters,
     * token-level): `top_bigram_frac` = the fraction of a document's
@@ -338,27 +372,39 @@ object TextOps {
     * trigram and produce no row (same contract as
     * [[boilerplateShingles]]).
     *
-    * Scale posture: entirely row-local — n-grams, sort, and run
-    * statistics all happen inside the row via higher-order functions,
-    * so the operator is a pure scan-stage map with ZERO shuffles (the
-    * groupBy-the-exploded-n-grams formulation the oracle uses would
-    * shuffle every n-gram occurrence; this one ships only the two
-    * ratios). The mode count equals the longest run of the sorted
-    * n-gram array, which is what [[runStats]] computes.
+    * Scale posture: entirely row-local — the n-gram counting happens
+    * inside the row in one typed `mapPartitions` pass
+    * ([[ngramRepetition]]), so the operator is a pure scan-stage map
+    * with ZERO shuffles (the groupBy-the-exploded-n-grams formulation
+    * the oracle uses would shuffle every n-gram occurrence; this one
+    * ships only the two ratios). The ratios themselves (division +
+    * 4-decimal rounding) stay Column expressions on the counter output,
+    * so the rounding semantics are bit-identical to the previous
+    * HOF-fold form the oracle was pinned against.
     */
   def repetitionSignals(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val bg = runStats(array_sort(ngramsCol(toks, 2)))
-    val tg = runStats(array_sort(ngramsCol(toks, 3)))
-    val nBg = (size(toks) - 1).cast("long")
-    val nTg = (size(toks) - 2).cast("long")
+    val spark = docs.sparkSession
+    import spark.implicits._
     docs
-      .filter(size(toks) >= 3)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text) =>
+          val toks = text.split(" ", -1)
+          if (toks.length < 3) Iterator.empty
+          else {
+            val (best, dup) = ngramRepetition(toks, withTrigrams = true)
+            Iterator.single((id, (toks.length - 1).toLong, best, dup))
+          }
+        }
+      }
+      .toDF("doc_id", "n_bigrams", "bg_best", "tg_dup")
       .select(
         col("doc_id"),
-        nBg.as("n_bigrams"),
-        round(bg.getField("best").cast("double") / nBg, 4).as("top_bigram_frac"),
-        round(tg.getField("dup").cast("double") / nTg, 4).as("dup_trigram_frac"))
+        col("n_bigrams"),
+        round(col("bg_best").cast("double") / col("n_bigrams"), 4).as("top_bigram_frac"),
+        round(col("tg_dup").cast("double") / (col("n_bigrams") - 1), 4)
+          .as("dup_trigram_frac"))
   }
 
   /** Boilerplate n-gram detection: shingles appearing in >= `minDocs`
@@ -399,8 +445,9 @@ object TextOps {
     * top-bigram share > repNum/repDen) — a float threshold would make
     * the keep decision depend on engine rounding at the boundary.
     *
-    * Scale posture: lang/length/repetition are row-local codegen'd
-    * expressions inside the scan; contamination reuses
+    * Scale posture: lang/length/repetition are row-local signals inside
+    * the scan (the bigram mode count shares [[ngramRepetition]]'s typed
+    * pass with q39 — same HOF→typed rationale); contamination reuses
     * [[decontaminate]]'s broadcast shingle semi join, so the only
     * shuffle is the distinct-contaminated-ids aggregation keyed on
     * doc_id. The policy frame is one left join on that (small) id set.
@@ -415,10 +462,22 @@ object TextOps {
       repDen: Int = 12,
       k: Int = 5
   ): DataFrame = {
-    val toks = tokens(col("text"))
-    val nTok = size(toks)
-    val mx = when(nTok >= 2, runStats(array_sort(ngramsCol(toks, 2))).getField("best"))
-      .otherwise(lit(0L))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // row-local signal pass: token count + bigram mode count (mx = 0
+    // for sub-bigram docs, exactly the former when(nTok >= 2) guard)
+    val base = docs
+      .select(col("doc_id").cast("long"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, lang, text) =>
+          val toks = text.split(" ", -1)
+          val mx =
+            if (toks.length >= 2) ngramRepetition(toks, withTrigrams = false)._1 else 0L
+          (id, lang, toks.length, mx)
+        }
+      }
+      .toDF("doc_id", "lang", "n_tokens", "mx")
     val benchShingles = Dedup.shingleRows(benchmark, k).select(col("shingle")).distinct()
     val contaminated = Dedup.shingleRows(docs, k)
       .join(broadcast(benchShingles), Seq("shingle"))
@@ -431,8 +490,7 @@ object TextOps {
         .when(col("mx") * repDen > (col("n_tokens") - 1).cast("long") * repNum, "repetitive")
         .when(coalesce(col("cont"), lit(0)) === 1, "contaminated")
         .otherwise("kept")
-    docs
-      .select(col("doc_id"), col("lang"), nTok.as("n_tokens"), mx.as("mx"))
+    base
       .join(contaminated, Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("lang"), col("n_tokens"),

@@ -477,6 +477,67 @@ class OpsSpec extends AnyFunSuite {
     assert(!r.contains(3L))
   }
 
+  // Spark's round(x, 4): BigDecimal HALF_UP — the replay the two
+  // randomized equivalence tests below use
+  private def round4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+
+  test("repetition signals: typed n-gram counters == independent mode/dup-mass replay (randomized)") {
+    // small vocab → dense n-gram collisions; lengths 0..14 cover the
+    // sub-trigram drop contract and single-bigram docs
+    val rnd = new scala.util.Random(83)
+    val vocab = Array("a", "b", "c", "aa", "bb", "C")
+    val rows = (0L until 300L).map { i =>
+      (i, Seq.fill(rnd.nextInt(15))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val d = docs(rows: _*)
+    val got = TextOps.repetitionSignals(d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2), x.getDouble(3)))).toMap
+    val expected = rows.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      if (toks.length < 3) None
+      else {
+        val bgs = toks.sliding(2).map(_.mkString(" ")).toSeq
+        val tgs = toks.sliding(3).map(_.mkString(" ")).toSeq
+        val best = bgs.groupBy(identity).values.map(_.size).max.toLong
+        val dup = tgs.groupBy(identity).values.collect { case g if g.size > 1 => g.size }.sum.toLong
+        Some(id -> ((bgs.size.toLong, round4(best.toDouble / bgs.size), round4(dup.toDouble / tgs.size))))
+      }
+    }.toMap
+    assert(got == expected)
+    assert(got.nonEmpty && got.values.exists(_._3 > 0.0), "vacuous fixture: no dup trigram fired")
+  }
+
+  test("ngram jaccard: sorted-merge counts == independent set-algebra replay (randomized)") {
+    val rnd = new scala.util.Random(29)
+    val vocab = Array("x", "y", "z", "w")
+    val rows = (0L until 120L).map { i =>
+      // lengths 0..9: includes sub-k docs (empty shingle sets → null contract)
+      (i, Seq.fill(rnd.nextInt(10))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val d = docs(rows: _*)
+    import spark.implicits._
+    val pairRows = (0L until 119L).map(i => (i, i + 1))
+    val pairs = pairRows.toDF("doc_a", "doc_b")
+    val got = Dedup.ngramJaccard(d, pairs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    def shingleSet(text: String): Set[String] = {
+      val toks = text.split(" ", -1)
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val byId = rows.toMap
+    val expected = pairRows.map { case (a, b) =>
+      val (sa, sb) = (shingleSet(byId(a)), shingleSet(byId(b)))
+      val u = (sa ++ sb).size
+      ((a, b), if (u == 0) None else Some(round4((sa & sb).size.toDouble / u)))
+    }.toMap
+    assert(got == expected)
+    assert(expected.values.exists(_.isEmpty), "vacuous fixture: no empty-union pair")
+    assert(expected.values.flatten.exists(v => v > 0.0 && v < 1.0), "vacuous fixture: no partial overlap")
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
