@@ -614,40 +614,107 @@ object Dedup {
       .toDF("doc_id", "shingle")
   }
 
-  /** 60-bit hash of `shingle` salted by band `b`: 15 hex chars of md5,
-    * as a LONG. One md5 digest (32 hex chars) feeds TWO bands — bands
-    * 2i and 2i+1 take disjoint 15-char windows of md5(shingle#i) —
-    * halving digest work; codegen subexpression elimination computes
-    * each md5 once per row. Numeric so min() aggregates in a mutable
-    * HashAggregate buffer (min over strings silently degrades to
-    * SortAggregate); cross-engine because DuckDB computes the identical
-    * value with ('0x' || substr(md5(...), pos, 15))::BIGINT.
+  /** Typed md5 band-minimum pass: one row per doc carrying ALL `bands`
+    * band minimums, computed row-locally — the round-8 replacement for
+    * the shingleRows → 8-hash-column projection → groupBy(doc_id) min
+    * aggregation (which shuffled one combined row per doc and paid the
+    * codegen'd md5+conv chain per (shingle, digest)). A document's
+    * shingles all live in its own text, so the minimums never needed an
+    * aggregation at all; this pass removes q15's only Exchange and cuts
+    * its constant ~3× (BenchOne sf0.1 A/B in OPTIMIZATION_r08.md).
+    *
+    * Band-value contract (spec-gated against an independent string
+    * parse replay, and still exactly what the DuckDB oracle computes
+    * with ('0x' || substr(md5(...), pos, 15))::BIGINT): band b = the
+    * 15-hex-char window `1 + 15*(b%2) .. +15` of md5(shingle + "#" +
+    * b/2), parsed base-16 into a 60-bit long — one digest feeds two
+    * bands. The parse here is byte-level (no hex string is built):
+    * window 0 = digest bytes 0..6 big-endian then the high nibble of
+    * byte 7; window 1 = the low nibble of byte 7 then bytes 8..14.
+    * Duplicate shingle occurrences cannot change a minimum, so the
+    * per-doc distinct set is hashed once (same dedup as shingleRows).
     */
-  private def bandHash(shingle: Column, b: Int): Column =
-    conv(
-      substring(
-        md5(to_binary(concat(shingle, lit(s"#${b / 2}")), lit("utf-8"))),
-        1 + 15 * (b % 2), 15),
-      16, 10)
-      .cast("long")
+  private def md5BandMins(docs: DataFrame, bands: Int, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val nDigests = (bands + 1) / 2
+        rows.flatMap { case (id, text) =>
+          val toks = text.split(" ", -1)
+          if (toks.length < k) Iterator.empty
+          else {
+            val seen = new java.util.HashSet[String](math.max(16, toks.length * 2))
+            val mins = Array.fill(bands)(Long.MaxValue)
+            var i = 0
+            while (i <= toks.length - k) {
+              val sb = new java.lang.StringBuilder
+              var j = i
+              while (j < i + k) {
+                if (j > i) sb.append(' ')
+                sb.append(toks(j))
+                j += 1
+              }
+              if (seen.add(sb.toString)) {
+                val baseLen = sb.length
+                var bi = 0
+                while (bi < nDigests) {
+                  sb.setLength(baseLen)
+                  sb.append('#').append(bi)
+                  md.reset()
+                  val d = md.digest(
+                    sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                  var v0 = 0L
+                  var x = 0
+                  while (x < 7) { v0 = (v0 << 8) | (d(x) & 0xffL); x += 1 }
+                  v0 = (v0 << 4) | ((d(7) >> 4) & 0xfL)
+                  val b0 = 2 * bi
+                  if (v0 < mins(b0)) mins(b0) = v0
+                  val b1 = b0 + 1
+                  if (b1 < bands) {
+                    var v1 = d(7) & 0xfL
+                    x = 8
+                    while (x < 15) { v1 = (v1 << 8) | (d(x) & 0xffL); x += 1 }
+                    if (v1 < mins(b1)) mins(b1) = v1
+                  }
+                  bi += 1
+                }
+              }
+              i += 1
+            }
+            Iterator.single((id, mins))
+          }
+        }
+      }
+      .toDF("doc_id", "mins")
+      .select(
+        col("doc_id") +: (0 until bands).map(b => col("mins").getItem(b).as(s"sig$b")): _*)
+  }
 
   def minhashSignatures(docs: DataFrame, bands: Int = 8, k: Int = 3): DataFrame =
-    minhashWith(docs, bands, k, bandHash)
+    minhashWith(docs, bands, k, fast = false)
 
   /** Production-path signatures: xxhash64 per band (pure codegen'd long
-    * arithmetic, no digest strings — ~4x faster than the md5 path, same
-    * operator shape). Not DuckDB-expressible, so the verified query uses
-    * the md5 variant and this one is benchmarked.
+    * arithmetic, no digest strings — same operator shape). Not
+    * DuckDB-expressible, so the verified query uses the md5 variant and
+    * this one is benchmarked; its values are pinned by the independent
+    * from-spec XXH64 reimplementation in XxHash64Spec, which is also
+    * why it keeps the Column xxhash64 + groupBy form instead of a typed
+    * reimplementation (production using the reimpl would make that spec
+    * verify itself).
     */
   def minhashSignaturesFast(docs: DataFrame, bands: Int = 8, k: Int = 3): DataFrame =
-    minhashWith(docs, bands, k, (sh, b) => xxhash64(sh, lit(b)))
+    minhashWith(docs, bands, k, fast = true)
 
   private def minhashWith(
       docs: DataFrame,
       bands: Int,
       k: Int,
-      hashFn: (Column, Int) => Column
-  ): DataFrame = minhashWithFp(docs, bands, k, hashFn).drop("fp")
+      fast: Boolean
+  ): DataFrame = minhashWithFp(docs, bands, k, fast).drop("fp")
 
   /** [[minhashWith]] plus a per-doc full-signature fingerprint `fp` =
     * xxhash64(sig0..sigN): identical texts have identical shingle sets,
@@ -667,18 +734,23 @@ object Dedup {
       docs: DataFrame,
       bands: Int,
       k: Int,
-      hashFn: (Column, Int) => Column
+      fast: Boolean
   ): DataFrame = {
-    // all band-minimums in ONE partial+final hash aggregation: the
-    // shuffle carries `bands` longs per doc instead of
-    // `bands` x shingle-count rows (the naive explode-by-band plan).
-    // Hashes are projected BEFORE the aggregate so Project-level
-    // subexpression elimination shares each md5 digest across its two
-    // bands (agg-input expressions don't get that elimination).
-    val hashed = shingleRows(docs, k).select(
-      col("doc_id") +: (0 until bands).map(b => hashFn(col("shingle"), b).as(s"h$b")): _*)
-    val mins = (0 until bands).map(b => min(col(s"h$b")).as(s"sig$b"))
-    val agg = hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    // md5 path: typed row-local band minimums, zero Exchange (see
+    // md5BandMins). xxhash64 path: band-minimums in ONE partial+final
+    // hash aggregation — the shuffle carries `bands` longs per doc
+    // instead of `bands` × shingle-count rows (the naive
+    // explode-by-band plan); it stays Column-based on purpose, so
+    // XxHash64Spec's independent reimplementation keeps verifying
+    // Spark's xxhash64 rather than itself.
+    val agg =
+      if (fast) {
+        val hashed = shingleRows(docs, k).select(
+          col("doc_id") +:
+            (0 until bands).map(b => xxhash64(col("shingle"), lit(b)).as(s"h$b")): _*)
+        val mins = (0 until bands).map(b => min(col(s"h$b")).as(s"sig$b"))
+        hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      } else md5BandMins(docs, bands, k)
     val stackExpr = (0 until bands).map(b => s"$b, sig$b").mkString(", ")
     agg.select(
       col("doc_id"),
@@ -736,9 +808,7 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val obs = megaObservation("lsh", megaObs)
-    val hashFn: (Column, Int) => Column =
-      if (fast) (sh, b) => xxhash64(sh, lit(b)) else bandHash
-    minhashWithFp(docs, bands, k, hashFn)
+    minhashWithFp(docs, bands, k, fast)
       .groupBy(col("band"), col("sig"))
       .agg(collect_list(struct(col("doc_id"), col("fp"))).as("members"))
       .filter(size(col("members")) > 1)

@@ -542,6 +542,40 @@ class OpsSpec extends AnyFunSuite {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("minhash signatures: byte-level band parse == independent hex-string conv replay (randomized)") {
+    // the typed md5BandMins pass parses each 15-hex-char window from
+    // digest BYTES; this replay goes through the hex STRING exactly as
+    // the former conv(substring(md5(...), pos, 15), 16, 10) Column form
+    // (and the DuckDB oracle) do — both window parities, odd band count
+    // included so the unpaired last digest window is covered
+    val rnd = new scala.util.Random(47)
+    val vocab = Array("m", "n", "o", "p", "qq")
+    val rows = (0L until 150L).map { i =>
+      (i, Seq.fill(rnd.nextInt(9))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val d = docs(rows: _*)
+    for (bands <- Seq(8, 3)) {
+      val got = Dedup.minhashSignatures(d, bands = bands).collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val expected = rows.flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        if (toks.length < 3) Seq.empty
+        else {
+          val sh = toks.sliding(3).map(_.mkString(" ")).toSet
+          (0 until bands).map { b =>
+            val mins = sh.map { s =>
+              val hex = md5hex(s + "#" + (b / 2))
+              java.lang.Long.parseLong(hex.substring(15 * (b % 2), 15 * (b % 2) + 15), 16)
+            }
+            (id, b) -> mins.min
+          }
+        }
+      }.toMap
+      assert(got == expected, s"bands=$bands")
+      assert(expected.nonEmpty)
+    }
+  }
+
   test("token budget mix: md5-ordered prefix per lang, straddling doc included") {
     import spark.implicits._
     val rows = (1L to 40L).map(i =>

@@ -38,10 +38,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("SortAggregate"), plan)
   }
 
-  test("q15: numeric minhash keeps HashAggregate") {
+  test("q15: typed md5 band-min pass plans with ZERO Exchange") {
+    // round 8: a doc's shingles all live in its own text, so the band
+    // minimums are computed row-locally (Dedup.md5BandMins) — the
+    // former shingleRows → groupBy(doc_id) min aggregation and its
+    // Exchange are gone. Any Exchange here means someone re-introduced
+    // the corpus-wide signature shuffle.
     val plan = planOf(SparkEntry.queries("q15_minhash_sig")(spark, sf))
-    assert(plan.contains("HashAggregate"), plan)
-    assert(!plan.contains("SortAggregate"), plan)
+    assert(!plan.contains("Exchange"), "minhash signatures must not shuffle:\n" + plan)
   }
 
   test("fused scoring pass plans with zero Exchange (no shuffle)") {
@@ -54,15 +58,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), "scoring pass should not shuffle:\n" + plan)
   }
 
-  test("q16: observe() guard metric adds no shuffle — exactly 3 Exchanges") {
+  test("q16: observe() guard metric adds no shuffle — exactly 2 Exchanges") {
     // the single-shuffle-per-stage budget of the LSH candidate pipeline:
-    // (1) explode→min signature agg, (2) bucket groupBy, (3) final pair
-    // groupBy. The round-4 CollectMetrics (mega-bucket Observation) sits
-    // between (2) and the flatMap and must never introduce a 4th.
+    // (1) bucket groupBy, (2) final pair groupBy. The former signature
+    // aggregation Exchange disappeared in round 8 (typed row-local band
+    // minimums — see the q15 lock above). The round-4 CollectMetrics
+    // (mega-bucket Observation) sits between (1) and the flatMap and
+    // must never introduce another.
     val plan = planOf(SparkEntry.queries("q16_lsh_pairs")(spark, sf))
     val n = "Exchange".r.findAllIn(plan).length
     assert(plan.contains("CollectMetrics"), "guard metric missing from plan:\n" + plan)
-    assert(n == 3, s"q16 expected exactly 3 Exchanges, got $n:\n$plan")
+    assert(n == 2, s"q16 expected exactly 2 Exchanges, got $n:\n$plan")
   }
 
   test("q19: query side of the ANN topk is broadcast") {
