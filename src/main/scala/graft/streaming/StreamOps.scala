@@ -223,22 +223,37 @@ object StreamOps {
       // streaming q47: rings preloaded from the ingested corpus — the
       // delta stream is suppressed against HISTORY, not just against
       // what this stream has seen. History vectors are assigned with
-      // the SAME static centroid snapshot (batch ivfAssign) and each
-      // cell's ring is built by REPLAYING the stream's own admission
-      // rule over the history in vec_id order (a near-dup history
-      // vector is skipped, an admitted one appends and evicts) — the
-      // raw takeRight of history rows would differ whenever the recent
-      // history itself contains near-dups, silently admitting deltas
-      // the organic stream would suppress. With the replay, preloaded
-      // and organically grown state are indistinguishable by
-      // construction (spec-gated). Each cell's history is materialized
-      // to sort by vec_id — bounded by per-cell history, the same
-      // bound the micro-batch fold below already assumes per batch.
+      // the STREAM'S OWN rule — the same static centroid snapshot
+      // scanned in id order with cosF and a strict `>` (round-7 ADVICE:
+      // the earlier batch-ivfAssign preload went through Catalyst's
+      // CosineSim/struct-sort path, which could place a vector in a
+      // different cell than the live loop on an exact cosine tie or a
+      // float-rounding edge, so preloaded and organic state were only
+      // indistinguishable on tie-free inputs) — and each cell's ring is
+      // built by REPLAYING the stream's own admission rule over the
+      // history in vec_id order (a near-dup history vector is skipped,
+      // an admitted one appends and evicts) — the raw takeRight of
+      // history rows would differ whenever the recent history itself
+      // contains near-dups, silently admitting deltas the organic
+      // stream would suppress. With both the assignment and the replay
+      // shared, preloaded and organically grown state are
+      // indistinguishable by construction (spec-gated). Each cell's
+      // history is materialized to sort by vec_id — bounded by per-cell
+      // history, the same bound the micro-batch fold below already
+      // assumes per batch.
       case Some(hist) =>
-        val initState = graft.ops.Similarity
-          .ivfAssign(hist, centroids)
-          .select(col("cell"), col("vec_id").cast("long"), col("embedding"))
-          .as[(Int, Long, Seq[Float])]
+        val initState = hist
+          .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+          .as[(Long, Seq[Float])]
+          .map { case (id, vec) =>
+            var bestCell = cents(0)._1
+            var bestCos = Double.NegativeInfinity
+            cents.foreach { case (cid, cvec) =>
+              val s = cosF(cvec, vec)
+              if (s > bestCos) { bestCos = s; bestCell = cid }
+            }
+            (bestCell, id, vec)
+          }
           .groupByKey(_._1)
           .mapGroups { (cell, it) =>
             var ring = Vector.empty[Seq[Float]]

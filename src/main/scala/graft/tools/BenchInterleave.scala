@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.SparkEntry
+import graft.{Bench, SparkEntry}
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool: interleaved A/B of several catalog queries in ONE JVM —
@@ -28,13 +28,18 @@ object BenchInterleave {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val fns = names.map(n => n -> SparkEntry.queries(n))
+    // the action is Bench.materialize (noop-format write), NOT count():
+    // count() lets Catalyst prune computed columns and drop
+    // left-join-to-keyed-aggregate tails, so an A/B timed with it
+    // measures a skeleton plan — the exact dishonest-timing bug the
+    // round-7 bench-action fix closed (round-7 ADVICE item).
     // one untimed warm-up pass (codegen + JIT)
-    fns.foreach { case (_, fn) => fn(spark, sfDir).count() }
+    fns.foreach { case (_, fn) => Bench.materialize(fn(spark, sfDir)) }
     val times = collection.mutable.LinkedHashMap(names.map(_ -> Vector.empty[Double]): _*)
     (1 to rounds).foreach { r =>
       fns.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        Bench.materialize(fn(spark, sfDir))
         val sec = (System.nanoTime() - t0) / 1e9
         times(name) = times(name) :+ sec
         println(f"""{"round":$r,"query":"$name","sec":$sec%.3f}""")

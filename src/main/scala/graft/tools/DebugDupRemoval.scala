@@ -35,11 +35,15 @@ object DebugDupRemoval {
     println(s"[dupremoval] docs=${stats.getLong(0)} avg_tokens=${stats.getDouble(1)}")
 
     val k = 12
-    time("full removeDuplicatedWindows.count")(
-      Dedup.removeDuplicatedWindows(docs, k).count())
+    // Bench.materialize, not count(): count() prunes the q48-shaped
+    // left-join tail, so these stage lines would understate the honest
+    // cost, inconsistent with the agg-based probes below (round-7
+    // ADVICE item)
+    time("full removeDuplicatedWindows (noop write)")(
+      graft.Bench.materialize(Dedup.removeDuplicatedWindows(docs, k)))
     // the same front half q48 runs
-    time("duplicatedWindowSpans.count")(
-      Dedup.duplicatedWindowSpans(docs, k).count())
+    time("duplicatedWindowSpans (noop write)")(
+      graft.Bench.materialize(Dedup.duplicatedWindowSpans(docs, k)))
     // removal aggregate alone (the sorted flagged-starts frame)
     time("removal agg via q48 tail sum")(
       Dedup.duplicatedWindowSpans(docs, k).agg(sum(col("n_dup_windows"))).head())
