@@ -229,27 +229,29 @@ object Similarity {
     df.schema("embedding").dataType
       .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
 
-  /** Above this centroid count the per-centroid-literal plan
-    * ([[nearestCells]]) stops being viable: each centroid is its own
-    * expression node, so the plan grows O(nCells) and whole-stage
-    * codegen hits JVM method/constant-pool limits long before the
-    * √(nProbe·n) cell rule reaches production n (~45k cells at n=10⁹).
-    * Beyond it, [[nearestCellsBroadcast]] scores a BROADCAST centroid
-    * matrix in one `mapPartitions` pass — plan size O(1), one
-    * primitive-array loop per row — preserving the literal path's
-    * scores and ordering BIT-EXACTLY (spec-gated on both element
-    * types). 512 keeps every measured regime (sf1's 200 cells; the
-    * 5×-slower CodegenFallback HOF rationale) on the codegen'd literal
-    * path.
-    */
-  private[graft] val MaxLiteralCells = 512
-
   /** Branch-free contract shared by both assignment paths: `df` plus
     * `outCol` = the nProbe nearest cells as array<struct<neg_cos,cell>>
     * (descending cosine, ties → lower cell id, zero-norm/null → ranked
     * last via +inf, exactly [[nearestCells]]'s semantics).
     * `forceBroadcast` pins a path for the equivalence spec; callers
-    * leave it None and get the size-based choice.
+    * leave it None and get [[nearestCellsBroadcast]].
+    *
+    * Round-8 default flip: the broadcast-matrix `mapPartitions` path is
+    * now ALWAYS selected (it had been reserved for nCells > 512). The
+    * "literal plan is faster at small nCells" belief came from a
+    * count()-action A/B in DebugIvf that Catalyst had quietly turned
+    * into a skeleton — count() pruned the literal path's `cells`
+    * projection entirely while the opaque typed path still evaluated —
+    * the same dishonest-action bug the round-7 bench fix closed. The
+    * honest noop-write A/B (DebugIvf bigcells, sf1 20k×64f rows,
+    * local[32], warm) reads broadcast 0.15/0.12/0.15/0.19/0.29/0.48 s
+    * vs literal 0.41/0.65/1.27/3.41/6.36/15.46 s at nCells =
+    * 16/32/64/128/256/512 — the literal plan loses at EVERY cell count
+    * (its giant generated method blows the JIT's size limits and runs
+    * interpreted long before the O(nCells) plan-size ceiling matters).
+    * [[nearestCells]] stays as the Catalyst-native REFERENCE arm the
+    * RAW-BIT equivalence spec pins the broadcast path against
+    * (AnnRecallSpec: float + double element types, zero-norm, NaN).
     */
   private[graft] def withNearestCells(
       df: DataFrame,
@@ -257,8 +259,7 @@ object Similarity {
       nProbe: Int,
       outCol: String,
       forceBroadcast: Option[Boolean] = None): DataFrame = {
-    val broadcastPath =
-      forceBroadcast.getOrElse(centroids.size > MaxLiteralCells)
+    val broadcastPath = forceBroadcast.getOrElse(true)
     if (centroids.isEmpty || !broadcastPath)
       df.withColumn(outCol, nearestCells(col("embedding"), embElemType(df), centroids, nProbe))
     else nearestCellsBroadcast(df, centroids, nProbe, outCol)

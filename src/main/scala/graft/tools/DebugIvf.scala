@@ -12,27 +12,37 @@ object DebugIvf {
       val t0 = System.nanoTime(); val r = f
       println(f"[ivf] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    // `bigcells` mode: the large-nCells assignment A/B (round-7 scale
-    // path) — per-centroid-literal plan vs broadcast-matrix
-    // mapPartitions at growing cell counts. The literal path's
-    // plan/codegen cost grows O(nCells) (it is never SELECTED above
-    // MaxLiteralCells=512); the broadcast path must stay flat through
-    // nCells >= 4096, where √(nProbe·n) lands for corpus-scale n.
+    // `bigcells` mode: the assignment-path A/B — per-centroid-literal
+    // plan vs broadcast-matrix mapPartitions at growing cell counts.
+    // Since round 8 the broadcast path is the ONLY selected path (the
+    // honest A/B below is why — see withNearestCells); the literal arm
+    // is timed here as the reference. The broadcast path must stay
+    // flat through nCells >= 4096, where √(nProbe·n) lands for
+    // corpus-scale n.
     if (args.contains("bigcells")) {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet").localCheckpoint()
       println(s"[ivf] bigcells corpus rows=${emb.count()}")
-      for (nCells <- Seq(256, 512, 1024, 2048, 4096)) {
+      // Bench.materialize, not .select("cells").count(): count() let
+      // Catalyst PRUNE the literal path's `cells` projection entirely
+      // (the broadcast path is an opaque mapPartitions and cannot be
+      // pruned), so the original A/B compared a literal SKELETON against
+      // an honest broadcast evaluation — the same count()-action bug the
+      // round-7 bench fix closed, discovered here in round 8 when the
+      // "slower" broadcast path won the honest q47 A/B.
+      for (nCells <- Seq(16, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)) {
         val cents = Similarity.ivfCentroids(emb, nCells)
         val bSec = t(s"broadcast assign nCells=$nCells") {
-          Similarity.withNearestCells(emb, cents, 2, "cells", Some(true))
-            .select(col("cells")).count()
+          graft.Bench.materialize(
+            Similarity.withNearestCells(emb, cents, 2, "cells", Some(true))
+              .select(col("cells")))
         }
         // literal path only while it is plan-viable; above the selection
         // threshold it exists only as the small-nCells fast path
         if (nCells <= 1024) {
           t(s"literal   assign nCells=$nCells") {
-            Similarity.withNearestCells(emb, cents, 2, "cells", Some(false))
-              .select(col("cells")).count()
+            graft.Bench.materialize(
+              Similarity.withNearestCells(emb, cents, 2, "cells", Some(false))
+                .select(col("cells")))
           }
         }
         val _ = bSec
