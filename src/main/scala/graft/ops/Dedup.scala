@@ -328,8 +328,8 @@ object Dedup {
     * [[windowOcc]]) — and the keeper election is ONE row_number window
     * over hash-partitioned digests (measured 2× the min-aggregate +
     * join-back form, which shuffles occ twice — see
-    * [[flaggedWindows]]). Window text is hashed to the md5 hex digest
-    * before the shuffle, so 32-byte keys travel, never k-token
+    * [[flaggedWindows]]). Window text is hashed to the raw md5 digest
+    * before the shuffle, so 16-byte keys travel, never k-token
     * strings; span merging never shuffles (one sorted fold inside the
     * doc's aggregation row).
     */
@@ -339,11 +339,16 @@ object Dedup {
   }
 
   /** One (doc_id, strt, h) row per k-token window of `text`, `h` the
-    * md5 hex digest of the window's token string — the shared front of
-    * the exact-substring family ([[duplicatedWindowSpans]],
+    * RAW 16-byte md5 digest of the window's token string — the shared
+    * front of the exact-substring family ([[duplicatedWindowSpans]],
     * [[removeDuplicatedWindows]], [[incrementalDupSpans]]). The digest
-    * is computed BEFORE any shuffle so 32-byte keys travel, never
-    * k-token strings.
+    * is computed BEFORE any shuffle so 16-byte keys travel, never
+    * k-token strings. (Round 8: `h` had been the 32-char HEX encoding —
+    * pure key-width overhead for a value that never leaves the ops:
+    * every election/join/distinct downstream only needs digest
+    * EQUALITY, and the binary form halves the shuffled/stored key —
+    * guide §2.3 "narrower types". At the 10^12-window design point the
+    * stored [[windowDigests]] projection halves outright.)
     */
   private[graft] def windowOcc(docs: DataFrame, k: Int): DataFrame = {
     val spark = docs.sparkSession
@@ -353,14 +358,14 @@ object Dedup {
     // CodegenFallback and slice allocates per element — the HOF form
     // measured 23.5 s for this explode at sf1 vs ~2 s typed, and the
     // join evaluates occ TWICE). MessageDigest is initialized once per
-    // partition; the hex digest equals Spark's md5() and DuckDB's
-    // md5() byte-for-byte (lowercase hex of the UTF-8 window string).
+    // partition; the digest bytes equal Spark's md5()/DuckDB's md5()
+    // digest of the UTF-8 window string (those emit the hex encoding
+    // of exactly these bytes).
     docs
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        val hexChars = "0123456789abcdef".toCharArray
         rows.flatMap { case (id, text) =>
           val toks = text.split(" ", -1)
           if (toks.length < k) Iterator.empty
@@ -373,16 +378,8 @@ object Dedup {
               i += 1
             }
             md.reset()
-            val d = md.digest(
-              sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            val hx = new Array[Char](32)
-            var j = 0
-            while (j < 16) {
-              hx(2 * j) = hexChars((d(j) >> 4) & 0xf)
-              hx(2 * j + 1) = hexChars(d(j) & 0xf)
-              j += 1
-            }
-            (id, s, new String(hx))
+            (id, s,
+              md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
           }
         }
       }
@@ -539,8 +536,9 @@ object Dedup {
   /** The stored projection for [[incrementalDupSpans]]: the distinct
     * k-token window digests of an already-ingested corpus (the
     * exact-substring twin of [[digests]] / [[paragraphDigests]]) —
-    * 32 hex bytes per DISTINCT window, maintained at ingest so history
-    * text is never re-read.
+    * 16 raw md5 bytes per DISTINCT window (binary since round 8; was
+    * 32 hex chars), maintained at ingest so history text is never
+    * re-read.
     */
   def windowDigests(docs: DataFrame, k: Int = 50): DataFrame =
     windowOcc(docs, k).select(col("h")).distinct()
@@ -562,7 +560,7 @@ object Dedup {
     *
     * Scale posture: the window explode, keeper election, and span merge
     * are all DELTA-bounded; the history side contributes one
-    * digest-keyed join against a 32-byte-wide stored projection
+    * digest-keyed join against a 16-byte-wide stored projection
     * (broadcast when small, shuffle-hash otherwise — never history
     * text).
     */

@@ -413,7 +413,7 @@ object StreamOps {
     * analogue of global-first-occurrence.
     *
     * Scale posture: per-window work is one state lookup keyed by the
-    * 32-byte digest; state grows with DISTINCT windows, never with
+    * 16-byte digest; state grows with DISTINCT windows, never with
     * duplicate mass. No watermark: substring membership does not
     * expire.
     */
@@ -425,9 +425,10 @@ object StreamOps {
     import spark.implicits._
     require(k >= 2, s"window width must be >= 2 tokens, got $k")
     val occ = graft.ops.Dedup.windowOcc(docs.select(col("doc_id").cast("long"), col("text")), k)
-      .as[(Long, Int, String)]
+      .as[(Long, Int, Array[Byte])]
       .groupByKey(_._3)
-    val fn = (_: String, it: Iterator[(Long, Int, String)], state: GroupState[Boolean]) => {
+    val fn = (_: Array[Byte], it: Iterator[(Long, Int, Array[Byte])],
+              state: GroupState[Boolean]) => {
       val known = state.exists
       val out = it.toSeq.sortBy(t => (t._1, t._2)).zipWithIndex.map {
         case ((id, strt, _), i) =>
@@ -438,7 +439,7 @@ object StreamOps {
     }
     initialDigests match {
       case Some(store) =>
-        val init = store.select(col("h")).as[String]
+        val init = store.select(col("h")).as[Array[Byte]]
           .groupByKey(identity).mapValues(_ => true)
         occ.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout, init)(fn)
       case None =>
