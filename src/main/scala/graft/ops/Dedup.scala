@@ -1132,13 +1132,37 @@ object Dedup {
           } yield (reps(i)._1, reps(j)._1, h)
         else Iterator.empty
       star ++ collapse ++ repPairs
-    } else
-      for {
-        i <- s.indices.iterator
-        j <- (i + 1 until s.length).iterator
-        h = java.lang.Long.bitCount(s(i)._2 ^ s(j)._2)
-        if h <= maxHamming
-      } yield (s(i)._1, s(j)._1, h)
+    } else {
+      // primitive-array while-loop, not a for-comprehension: the
+      // comprehension paid per-step closure dispatch + tuple reads on
+      // every CANDIDATE (Σ bucket²/2 hamming tests — ~10⁹ at sf1 on
+      // the clustered synthetic corpus) while only the rare passing
+      // pair allocates. Same pairs, same order.
+      val n = s.length
+      val ids = new Array[Long](n)
+      val shs = new Array[Long](n)
+      var t = 0
+      s.foreach { m => ids(t) = m._1; shs(t) = m._2; t += 1 }
+      new scala.collection.AbstractIterator[(Long, Long, Int)] {
+        private var i = 0
+        private var j = 1
+        private var nxt: (Long, Long, Int) = _
+        private def advance(): Unit = {
+          nxt = null
+          while (nxt == null && i < n - 1) {
+            val h = java.lang.Long.bitCount(shs(i) ^ shs(j))
+            if (h <= maxHamming) nxt = (ids(i), ids(j), h)
+            j += 1
+            if (j >= n) { i += 1; j = i + 1 }
+          }
+        }
+        advance()
+        override def hasNext: Boolean = nxt != null
+        override def next(): (Long, Long, Int) = {
+          val r = nxt; advance(); r
+        }
+      }
+    }
   }
 
   /** Jaccard similarity over distinct word k-grams for an explicit pair

@@ -113,28 +113,65 @@ object TextOps {
 
   /** SimHash over word hashes (cross-engine verifiable: word hash =
     * first ceil(bits/4) hex chars of md5, bit j votes +1/-1, simhash
-    * bit j = majority). One explode + one aggregation; at web scale this
-    * is a single map-side-combinable groupBy(doc_id). `bits` up to 60
-    * (15 hex digits keep the value inside a signed 64-bit long in both
-    * engines); 16 is the compact oracle-table variant (q13), 60 the
-    * production fingerprint the near-dup join uses.
+    * bit j = majority). `bits` up to 60 (15 hex digits keep the value
+    * inside a signed 64-bit long in both engines); 16 is the compact
+    * oracle-table variant (q13), 60 the production fingerprint the
+    * near-dup join uses.
+    *
+    * Shape (round 8): one typed row-local pass — a document's tokens
+    * all live in its own text, so the vote tally never needed the
+    * explode + 60-vote-column groupBy it previously ran (one combined
+    * row per doc still shuffled, and every exploded token paid `bits`
+    * when()-column updates plus the md5+conv string chain). The typed
+    * loop digests each token occurrence once, takes the first
+    * ceil(bits/4) nibbles straight from the digest bytes (no hex
+    * string), and tallies votes in a primitive array — ZERO Exchange,
+    * same fingerprint bit-for-bit (the [[simhashExpr]] equality spec
+    * now cross-checks typed vs the independent Column HOF form;
+    * q13/q27 oracles unchanged).
     */
   def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
     require(bits >= 1 && bits <= 60, s"bits must be 1..60, got $bits")
-    val h = conv(substring(md5(to_binary(col("tok"), lit("utf-8"))), 1, (bits + 3) / 4), 16, 10)
-      .cast("long")
-    val votes = (0 until bits).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"v$j")
-    }
-    val exploded = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .withColumn("h", h)
-    val voted = exploded.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val sig = (0 until bits)
-      .map(j => when(col(s"v$j") > 0, 1L << j).otherwise(0L))
-      .reduce(_ + _)
-    voted.select(col("doc_id"), sig.as("simhash"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nNib = (bits + 3) / 4
+    docs
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, text) =>
+          val toks = text.split(" ", -1)
+          val votes = new Array[Int](bits)
+          var i = 0
+          while (i < toks.length) {
+            md.reset()
+            val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            // first nNib nibbles of the digest, big-endian — exactly
+            // conv(substring(hex, 1, nNib), 16, 10)
+            var h = 0L
+            var x = 0
+            while (x < nNib) {
+              h = (h << 4) | ((d(x >> 1) >> (4 * (1 - (x & 1)))) & 0xf)
+              x += 1
+            }
+            var j = 0
+            while (j < bits) {
+              if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+              j += 1
+            }
+            i += 1
+          }
+          var sig = 0L
+          var j = 0
+          while (j < bits) {
+            if (votes(j) > 0) sig |= (1L << j)
+            j += 1
+          }
+          (id, sig)
+        }
+      }
+      .toDF("doc_id", "simhash")
   }
 
   /** Row-local simhash: the same fingerprint as [[simhash]] (spec-gated
@@ -150,12 +187,13 @@ object TextOps {
     * powers array, and the final fingerprint is the sum of the powers
     * whose vote is positive.
     *
-    * Measured tradeoff (SimhashTiming, sf0.1, local[32]): the groupBy
-    * variant is faster single-node (0.88s vs 1.32s at 60 bits — its
-    * aggregation is whole-stage-codegen'd while HOF lambdas are
-    * interpreted), so the batch catalog (q13/q27) keeps [[simhash]];
-    * this form exists for pipelines that cannot shuffle — streaming
-    * (StreamOps.nearDupStream) and scan-stage enrichment.
+    * Role since round 8: [[simhash]] itself is now a typed row-local
+    * pass (faster than both this HOF form and the old groupBy form —
+    * SimhashTiming), so this expression exists for contexts that need
+    * a pure COLUMN expression rather than a typed Dataset op —
+    * streaming composition (StreamOps.nearDupStream's
+    * dropDuplicatesWithinWatermark) and scan-stage enrichment — and as
+    * the independent arm of the bit-identity spec.
     */
   def simhashExpr(text: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 60, s"bits must be 1..60, got $bits")
