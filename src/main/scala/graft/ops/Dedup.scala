@@ -859,9 +859,26 @@ object Dedup {
       }
       val star = s.iterator.filter(_._2 != hubFp).map { case (b, _) => (hub, b) }
       collapse ++ star
-    } else
-      for { i <- s.indices.iterator; j <- (i + 1 until s.length).iterator }
-        yield (s(i)._1, s(j)._1)
+    } else {
+      // primitive-array while-loop iterator, not a for-comprehension —
+      // same rationale as [[simhashBucketPairs]]'s normal path (the
+      // comprehension paid closure dispatch + tuple reads per pair).
+      val n = s.length
+      val ids = new Array[Long](n)
+      var t = 0
+      s.foreach { m => ids(t) = m._1; t += 1 }
+      new scala.collection.AbstractIterator[(Long, Long)] {
+        private var i = 0
+        private var j = 1
+        override def hasNext: Boolean = i < n - 1
+        override def next(): (Long, Long) = {
+          val r = (ids(i), ids(j))
+          j += 1
+          if (j >= n) { i += 1; j = i + 1 }
+          r
+        }
+      }
+    }
   }
 
   /** Near-duplicate CLUSTERS: LSH candidate pairs (sharing >= `minBands`
