@@ -904,6 +904,21 @@ object Dedup {
     * [[lshBucketPairs]]) and only cross-group mega edges can lose
     * support — watch [[megaBucketCount]]("lsh") when raising
     * `minBands`.
+    *
+    * Round-8 edge generation at `minBands = 1`: every in-bucket pair is
+    * an edge (the >= 1 filter is vacuous), and a bucket's pair set is a
+    * CLIQUE — whose connected components are exactly those of the
+    * bucket's min-id STAR. So the CC input is built as one star edge
+    * per non-hub bucket member instead of the O(bucket²) pair listing:
+    * at sf1 this shrank the q26 edge frame from 7.6M pair rows (plus
+    * their n_shared_bands aggregation) to Σ bucket star rows and the
+    * whole q26/q37 tail with it. Components are provably identical
+    * (clique ↔ star span the same vertex set; the mega-guard's degraded
+    * pair set is itself star-shaped and component-equal — the round-5
+    * property spec), and the O(bucket) output means the quadratic
+    * mega-bucket guard has nothing to guard on this path. `minBands >=
+    * 2` callers (q52's strict bar) keep the counted-pair path, where
+    * band support is semantic.
     */
   def nearDupClusters(
       spark: org.apache.spark.sql.SparkSession,
@@ -913,10 +928,23 @@ object Dedup {
       minBands: Int = 1
   ): DataFrame = {
     import spark.implicits._
-    val edges = lshCandidates(docs, bands, k)
-      .filter(col("n_shared_bands") >= minBands)
-      .select(col("doc_a"), col("doc_b"))
-      .as[(Long, Long)]
+    val edges =
+      if (minBands <= 1)
+        minhashWith(docs, bands, k, fast = false)
+          .groupBy(col("band"), col("sig"))
+          .agg(collect_list(col("doc_id")).as("members"))
+          .filter(size(col("members")) > 1)
+          .select(col("members"))
+          .as[Seq[Long]]
+          .flatMap { ms =>
+            val hub = ms.min
+            ms.iterator.filter(_ != hub).map(m => (hub, m))
+          }
+      else
+        lshCandidates(docs, bands, k)
+          .filter(col("n_shared_bands") >= minBands)
+          .select(col("doc_a"), col("doc_b"))
+          .as[(Long, Long)]
     val cc = graft.kg.Canonicalize.connectedComponentsLong(spark, edges)
       .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
     docs.select(col("doc_id"))

@@ -709,6 +709,37 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.megaBucketCount("simhash") == 4L, "all 4 simhash bands counted")
   }
 
+  test("nearDupClusters star edges == counted-pair edges' components (randomized)") {
+    // the round-8 minBands=1 edge generation builds one min-id star per
+    // bucket instead of the O(bucket²) pair listing; this replays the
+    // OLD pair-based flow (lshCandidates >= 1 + CC + self-cluster join)
+    // and asserts identical cluster assignment on a dup-heavy corpus
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val vocab = Array("r", "s", "t", "u", "v")
+    def sentence() = Seq.fill(6 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val base = (0 until 30).map(_ => sentence())
+    val rows = (0L until 200L).map { i =>
+      // heavy duplication + some sub-k docs (self-cluster contract)
+      val t = if (i % 17 == 0) "x y" else base(rnd.nextInt(base.length))
+      (i, t)
+    }
+    val d = docs(rows: _*)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = toMap(Dedup.nearDupClusters(spark, d))
+    val pairEdges = Dedup.lshCandidates(d)
+      .filter(col("n_shared_bands") >= 1)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)]
+    val cc = graft.kg.Canonicalize.connectedComponentsLong(spark, pairEdges)
+      .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+    val ref = toMap(
+      d.select(col("doc_id")).join(cc, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id"))))
+    assert(star == ref)
+    assert(star.values.toSet.size < star.size, "vacuous fixture: no multi-doc cluster formed")
+  }
+
   test("nearDupClustersCollapsed == plain clusters, plus exact short-doc dups now cluster") {
     import spark.implicits._
     // 3 exact-dup groups + near-dups + singletons + two identical
