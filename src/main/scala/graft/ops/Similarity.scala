@@ -92,44 +92,137 @@ object Similarity {
     * driver-side and broadcast it (the dim count isn't statically
     * known here, which is why this one stays pure-lazy).
     */
-  def clusterBoost(embeddings: DataFrame, nClusters: Int = 8, strength: Double = 3.0): DataFrame =
-    embeddings.select(
-      col("vec_id"),
-      transform(col("embedding"), (x, i) => {
-        val k = pmod(
-          conv(
-            substring(
-              md5(to_binary(
-                concat(
-                  lit("c"), pmod(col("vec_id"), lit(nClusters)).cast("string"),
-                  lit("#"), i.cast("string")),
-                lit("utf-8"))),
-              1, 8),
-            16, 10).cast("long"),
-          lit(1000L))
-        x.cast("double") + lit(strength) * (k.cast("double") / lit(1000.0) - lit(0.5))
-      }).as("embedding"))
+  /** Round-8 shape: the per-element offset depends only on
+    * (vec_id % nClusters, dim) — nClusters × dim distinct md5 values
+    * for the whole corpus — so the former `transform` HOF (interpreted,
+    * one md5+conv string chain per ELEMENT per row: 64 per vector,
+    * ~2–3.5 s of the sf1 kg_ann_* front) is now a typed pass with a
+    * per-partition memo. Value contract unchanged and bit-exact:
+    * k(c,i) = conv(first 8 hex chars of md5("c" + c + "#" + i), 16,
+    * 10) % 1000 (parsed from digest bytes — same integer), and the
+    * output double is x.toDouble + strength * (k/1000.0 − 0.5), the
+    * identical operation order the Column tree evaluated. The DuckDB
+    * oracle replays the same formula independently in SQL.
+    */
+  def clusterBoost(embeddings: DataFrame, nClusters: Int = 8, strength: Double = 3.0): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    embeddings
+      .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val memo = scala.collection.mutable.LongMap.empty[Double]
+        def off(c: Int, i: Int): Double = {
+          val key = (c.toLong << 32) | i.toLong
+          memo.getOrElse(key, {
+            md.reset()
+            val d = md.digest(("c" + c + "#" + i)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            var v = 0L
+            var x = 0
+            while (x < 4) { v = (v << 8) | (d(x) & 0xffL); x += 1 }
+            val o = strength * ((v % 1000L).toDouble / 1000.0 - 0.5)
+            memo.update(key, o)
+            o
+          })
+        }
+        rows.map { case (id, emb) =>
+          if (emb == null) (id, null: Seq[Double])
+          else {
+            val c = java.lang.Math.floorMod(id, nClusters.toLong).toInt
+            val out = new Array[Double](emb.length)
+            var i = 0
+            while (i < emb.length) { out(i) = emb(i).toDouble + off(c, i); i += 1 }
+            (id, out.toSeq)
+          }
+        }
+      }
+      .toDF("vec_id", "embedding")
+  }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a hash-derived value in [-0.5, 0.5). No RNG state — reproducible
-    * across engines and runs.
+    * across engines and runs. The typed twin below computes the SAME
+    * value through Spark's own Murmur3 utility (the `hash()` function's
+    * evaluation for two int children is hashInt(plane, 42) chained into
+    * hashInt(dim, ·) — we call the identical library code, no
+    * reimplementation).
     */
   private def planeComponent(plane: Int, dim: Column): Column =
     (pmod(hash(lit(plane), dim), lit(1000)).cast("double") / 1000.0) - 0.5
 
+  private def planeComponentF(plane: Int, dim: Int): Double = {
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(
+      dim, org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(plane, 42))
+    java.lang.Math.floorMod(h, 1000).toDouble / 1000.0 - 0.5
+  }
+
   /** Sign-bit LSH bucket id from `nPlanes` hyperplanes. Vectors in the
     * same bucket are likely neighbors; bucket count = 2^nPlanes.
+    *
+    * Round-8 shape: one typed pass per row — the former
+    * `aggregate(transform(...))` HOF pair evaluated interpreted, one
+    * murmur3 + multiply + add per (element × plane) with per-element
+    * allocation. The plane components are memoized per partition (only
+    * nPlanes × dim distinct values) via [[planeComponentF]] — Spark's
+    * own Murmur3 library code, so values are identical — and the dot
+    * product accumulates left-to-right exactly like the HOF fold, so
+    * buckets are bit-identical (spec: LshBucketsSpec replays the Column
+    * form). Null embedding / null element → every dotp null → every
+    * bit's `when` falls to otherwise(0) → bucket 0, replicated
+    * explicitly.
     */
   def lshBuckets(embeddings: DataFrame, nPlanes: Int = 8): DataFrame = {
-    val bucketBits = (0 until nPlanes).map { p =>
-      val dotp = aggregate(
-        transform(col("embedding"), (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0.0),
-        (acc, v) => acc + v
-      )
-      when(dotp >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    embeddings.withColumn("bucket", bucketBits.reduce(_ + _))
+    import org.apache.spark.sql.types._
+    val schema = embeddings.schema
+    val embIdx = schema.fieldIndex("embedding")
+    val outSchema = schema.add("bucket", LongType, nullable = false)
+    embeddings.mapPartitions { it =>
+      // planes(p)(i), grown on demand to the widest embedding seen
+      var planeDim = 0
+      var planes: Array[Array[Double]] = Array.fill(nPlanes)(new Array[Double](0))
+      it.map { row =>
+        var bucket = 0L
+        if (!row.isNullAt(embIdx)) {
+          val s = row.getSeq[Any](embIdx)
+          val n = s.length
+          val a = new Array[Double](n)
+          var ok = true
+          var i = 0
+          while (i < n) {
+            s(i) match {
+              case f: java.lang.Float  => a(i) = f.toDouble
+              case d: java.lang.Double => a(i) = d
+              case x: java.lang.Number => a(i) = x.doubleValue
+              case null                => ok = false
+            }
+            i += 1
+          }
+          if (ok) {
+            if (n > planeDim) {
+              planes = Array.tabulate(nPlanes) { p =>
+                Array.tabulate(n)(i => planeComponentF(p, i))
+              }
+              planeDim = n
+            }
+            var p = 0
+            while (p < nPlanes) {
+              val pl = planes(p)
+              var dotp = 0.0
+              i = 0
+              while (i < n) { dotp += a(i) * pl(i); i += 1 }
+              // Spark double comparison sorts NaN ABOVE every value, so
+              // the Column form's `dotp >= 0` is TRUE for NaN — match it
+              // (plain Java `>=` would be false)
+              if (dotp >= 0 || java.lang.Double.isNaN(dotp)) bucket |= (1L << p)
+              p += 1
+            }
+          }
+        }
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ bucket)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   // ------------------------------------------------------------------

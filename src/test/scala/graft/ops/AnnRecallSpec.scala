@@ -299,4 +299,69 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(replay == out, "dump-twin replay diverges from the operator")
     emb.unpersist()
   }
+
+  test("clusterBoost typed pass is bit-identical to the Column-expression form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the round-8 typed rewrite vs the original transform-HOF tree,
+    // compared on RAW double bits (any arithmetic-order drift must fail)
+    val d = clustered
+    def columnForm(embeddings: DataFrame, nClusters: Int, strength: Double) =
+      embeddings.select(
+        col("vec_id"),
+        transform(col("embedding"), (x, i) => {
+          val k = pmod(
+            conv(
+              substring(
+                md5(to_binary(
+                  concat(
+                    lit("c"), pmod(col("vec_id"), lit(nClusters)).cast("string"),
+                    lit("#"), i.cast("string")),
+                  lit("utf-8"))),
+                1, 8),
+              16, 10).cast("long"),
+            lit(1000L))
+          x.cast("double") + lit(strength) * (k.cast("double") / lit(1000.0) - lit(0.5))
+        }).as("embedding"))
+    def bits(df: DataFrame) = df.as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => id -> v.map(java.lang.Double.doubleToRawLongBits).toList }
+      .toMap
+    assert(bits(Similarity.clusterBoost(d)) == bits(columnForm(d, 8, 3.0)))
+    assert(bits(Similarity.clusterBoost(d, nClusters = 5, strength = 1.5)) ==
+      bits(columnForm(d, 5, 1.5)))
+  }
+
+  test("lshBuckets typed pass is bit-identical to the Column-expression form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // original HOF tree, reconstructed: per plane, aggregate(transform)
+    // dot product against the hash-derived component, sign bit summed
+    def columnForm(embeddings: DataFrame, nPlanes: Int) = {
+      val bucketBits = (0 until nPlanes).map { p =>
+        val dotp = aggregate(
+          transform(col("embedding"), (x, i) =>
+            x.cast("double") *
+              ((pmod(hash(lit(p), i), lit(1000)).cast("double") / 1000.0) - 0.5)),
+          lit(0.0),
+          (acc, v) => acc + v)
+        when(dotp >= 0, lit(1L << p)).otherwise(0L)
+      }
+      embeddings.withColumn("bucket", bucketBits.reduce(_ + _))
+    }
+    def buckets(df: DataFrame) = df.select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // float corpus and the double (clusterBoost) corpus, both plane counts
+    val f = clustered
+    assert(buckets(Similarity.lshBuckets(f, 8)) == buckets(columnForm(f, 8)))
+    val dd = Similarity.clusterBoost(f)
+    assert(buckets(Similarity.lshBuckets(dd, 6)) == buckets(columnForm(dd, 6)))
+    // extra columns survive and a NaN-poisoned vector matches the
+    // Column form's NaN-sorts-high `>= 0` semantics
+    val weird = (clustered.as[(Long, Seq[Float])].collect().toSeq :+
+      ((998L, Seq.tabulate(16)(j => if (j == 2) Float.NaN else 0.3f))))
+      .toDF("vec_id", "embedding").withColumn("tag", lit("x"))
+    val t = Similarity.lshBuckets(weird, 4)
+    assert(t.columns.toSeq == Seq("vec_id", "embedding", "tag", "bucket"))
+    assert(buckets(t) == buckets(columnForm(weird, 4)))
+  }
 }
