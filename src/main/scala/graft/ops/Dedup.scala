@@ -413,6 +413,14 @@ object Dedup {
     val elected = occ.withColumn("rn", row_number().over(w))
     val flagged = historyWindows match {
       case Some(hw) =>
+        // fail LOUD on a pre-round-8 hex-string store: Spark would
+        // implicitly cast the string to its UTF-8 bytes, which never
+        // equal raw digests — every historical duplicate would silently
+        // read as new. Re-derive the store with windowDigests().
+        require(hw.schema("h").dataType == org.apache.spark.sql.types.BinaryType,
+          s"historyWindows.h must be BINARY (raw md5 bytes, the round-8 store " +
+            s"format); got ${hw.schema("h").dataType} — re-derive the store with " +
+            "windowDigests()")
         elected
           .join(hw.select(col("h")).distinct().withColumn("in_hist", lit(1)), Seq("h"), "left")
           .withColumn("dup", (col("in_hist").isNotNull || col("rn") > 1).cast("long"))
@@ -632,6 +640,29 @@ object Dedup {
     * Duplicate shingle occurrences cannot change a minimum, so the
     * per-doc distinct set is hashed once (same dedup as shingleRows).
     */
+  /** The distinct k-token space-joined windows of one tokenized doc —
+    * the shared typed shingle-set builder behind [[md5BandMins]] and
+    * [[ngramJaccard]] (the row-emitting sibling is [[shingleRows]];
+    * keep the window semantics in ONE place). Caller guards
+    * `toks.length >= k`.
+    */
+  private def distinctShingles(toks: Array[String], k: Int): java.util.HashSet[String] = {
+    val seen = new java.util.HashSet[String](math.max(16, toks.length * 2))
+    var i = 0
+    while (i <= toks.length - k) {
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < i + k) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen
+  }
+
   private def md5BandMins(docs: DataFrame, bands: Int, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -642,46 +673,37 @@ object Dedup {
         val md = java.security.MessageDigest.getInstance("MD5")
         val nDigests = (bands + 1) / 2
         rows.flatMap { case (id, text) =>
-          val toks = text.split(" ", -1)
-          if (toks.length < k) Iterator.empty
+          // null text == no shingles (shingleRows' convention): absent
+          val toks = if (text == null) null else text.split(" ", -1)
+          if (toks == null || toks.length < k) Iterator.empty
           else {
-            val seen = new java.util.HashSet[String](math.max(16, toks.length * 2))
             val mins = Array.fill(bands)(Long.MaxValue)
-            var i = 0
-            while (i <= toks.length - k) {
-              val sb = new java.lang.StringBuilder
-              var j = i
-              while (j < i + k) {
-                if (j > i) sb.append(' ')
-                sb.append(toks(j))
-                j += 1
-              }
-              if (seen.add(sb.toString)) {
-                val baseLen = sb.length
-                var bi = 0
-                while (bi < nDigests) {
-                  sb.setLength(baseLen)
-                  sb.append('#').append(bi)
-                  md.reset()
-                  val d = md.digest(
-                    sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-                  var v0 = 0L
-                  var x = 0
-                  while (x < 7) { v0 = (v0 << 8) | (d(x) & 0xffL); x += 1 }
-                  v0 = (v0 << 4) | ((d(7) >> 4) & 0xfL)
-                  val b0 = 2 * bi
-                  if (v0 < mins(b0)) mins(b0) = v0
-                  val b1 = b0 + 1
-                  if (b1 < bands) {
-                    var v1 = d(7) & 0xfL
-                    x = 8
-                    while (x < 15) { v1 = (v1 << 8) | (d(x) & 0xffL); x += 1 }
-                    if (v1 < mins(b1)) mins(b1) = v1
-                  }
-                  bi += 1
+            val it = distinctShingles(toks, k).iterator()
+            while (it.hasNext) {
+              val sb = new java.lang.StringBuilder(it.next())
+              val baseLen = sb.length
+              var bi = 0
+              while (bi < nDigests) {
+                sb.setLength(baseLen)
+                sb.append('#').append(bi)
+                md.reset()
+                val d = md.digest(
+                  sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                var v0 = 0L
+                var x = 0
+                while (x < 7) { v0 = (v0 << 8) | (d(x) & 0xffL); x += 1 }
+                v0 = (v0 << 4) | ((d(7) >> 4) & 0xfL)
+                val b0 = 2 * bi
+                if (v0 < mins(b0)) mins(b0) = v0
+                val b1 = b0 + 1
+                if (b1 < bands) {
+                  var v1 = d(7) & 0xfL
+                  x = 8
+                  while (x < 15) { v1 = (v1 << 8) | (d(x) & 0xffL); x += 1 }
+                  if (v1 < mins(b1)) mins(b1) = v1
                 }
+                bi += 1
               }
-              i += 1
             }
             Iterator.single((id, mins))
           }
@@ -1229,32 +1251,26 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, k: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // localCheckpoint: the sh subtree feeds BOTH join sides — without
+    // the cut, Catalyst re-plans it per side and the typed shingle
+    // build runs twice per doc (the same single-computation rationale
+    // as Similarity.ivfTopK's checkpoint)
     val sh = docs
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val toks = text.split(" ", -1)
-        if (toks.length < k) (id, Array.empty[String])
+        // null text == no shingles (empty set, like a sub-k doc)
+        val toks = if (text == null) null else text.split(" ", -1)
+        if (toks == null || toks.length < k) (id, Array.empty[String])
         else {
-          val seen = new java.util.HashSet[String](math.max(16, toks.length * 2))
-          var i = 0
-          while (i <= toks.length - k) {
-            val sb = new java.lang.StringBuilder
-            var j = i
-            while (j < i + k) {
-              if (j > i) sb.append(' ')
-              sb.append(toks(j))
-              j += 1
-            }
-            seen.add(sb.toString)
-            i += 1
-          }
+          val seen = distinctShingles(toks, k)
           val arr = seen.toArray(new Array[String](seen.size))
           java.util.Arrays.sort(arr.asInstanceOf[Array[AnyRef]])
           (id, arr)
         }
       }
       .toDF("doc_id", "sh")
+      .localCheckpoint()
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))

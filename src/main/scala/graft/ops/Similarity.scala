@@ -105,40 +105,53 @@ object Similarity {
     * oracle replays the same formula independently in SQL.
     */
   def clusterBoost(embeddings: DataFrame, nClusters: Int = 8, strength: Double = 3.0): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    embeddings
-      .select(col("vec_id").cast("long"), col("embedding").cast("array<float>"))
-      .as[(Long, Seq[Float])]
-      .mapPartitions { rows =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val memo = scala.collection.mutable.LongMap.empty[Double]
-        def off(c: Int, i: Int): Double = {
-          val key = (c.toLong << 32) | i.toLong
-          memo.getOrElse(key, {
-            md.reset()
-            val d = md.digest(("c" + c + "#" + i)
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            var v = 0L
-            var x = 0
-            while (x < 4) { v = (v << 8) | (d(x) & 0xffL); x += 1 }
-            val o = strength * ((v % 1000L).toDouble / 1000.0 - 0.5)
-            memo.update(key, o)
-            o
-          })
-        }
-        rows.map { case (id, emb) =>
-          if (emb == null) (id, null: Seq[Double])
-          else {
-            val c = java.lang.Math.floorMod(id, nClusters.toLong).toInt
-            val out = new Array[Double](emb.length)
-            var i = 0
-            while (i < emb.length) { out(i) = emb(i).toDouble + off(c, i); i += 1 }
-            (id, out.toSeq)
+    import org.apache.spark.sql.types._
+    // element type handled generically (float widens exactly, double
+    // passes through — the Column form's x.cast("double") contract) and
+    // null ELEMENTS stay null like the HOF did, so the rewrite is
+    // bit-equivalent on every input the old expression accepted
+    val in = embeddings.select(col("vec_id").cast("long"), col("embedding"))
+    val outSchema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(DoubleType, containsNull = true))))
+    in.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val memo = scala.collection.mutable.LongMap.empty[Double]
+      def off(c: Int, i: Int): Double = {
+        val key = (c.toLong << 32) | i.toLong
+        memo.getOrElse(key, {
+          md.reset()
+          val d = md.digest(("c" + c + "#" + i)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var v = 0L
+          var x = 0
+          while (x < 4) { v = (v << 8) | (d(x) & 0xffL); x += 1 }
+          val o = strength * ((v % 1000L).toDouble / 1000.0 - 0.5)
+          memo.update(key, o)
+          o
+        })
+      }
+      rows.map { row =>
+        val id = row.getLong(0)
+        if (row.isNullAt(1)) org.apache.spark.sql.Row(id, null)
+        else {
+          val emb = row.getSeq[Any](1)
+          val c = java.lang.Math.floorMod(id, nClusters.toLong).toInt
+          val out = new Array[Any](emb.length)
+          var i = 0
+          while (i < emb.length) {
+            emb(i) match {
+              case null                => out(i) = null
+              case f: java.lang.Float  => out(i) = f.toDouble + off(c, i)
+              case d: java.lang.Double => out(i) = d.doubleValue + off(c, i)
+              case x: java.lang.Number => out(i) = x.doubleValue + off(c, i)
+            }
+            i += 1
           }
+          org.apache.spark.sql.Row(id, out.toSeq)
         }
       }
-      .toDF("vec_id", "embedding")
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
@@ -175,10 +188,14 @@ object Similarity {
     */
   def lshBuckets(embeddings: DataFrame, nPlanes: Int = 8): DataFrame = {
     import org.apache.spark.sql.types._
-    val schema = embeddings.schema
+    // withColumn REPLACED an existing `bucket` column; drop it first so
+    // the appended field keeps that contract instead of duplicating
+    val base =
+      if (embeddings.columns.contains("bucket")) embeddings.drop("bucket") else embeddings
+    val schema = base.schema
     val embIdx = schema.fieldIndex("embedding")
     val outSchema = schema.add("bucket", LongType, nullable = false)
-    embeddings.mapPartitions { it =>
+    base.mapPartitions { it =>
       // planes(p)(i), grown on demand to the widest embedding seen
       var planeDim = 0
       var planes: Array[Array[Double]] = Array.fill(nPlanes)(new Array[Double](0))

@@ -140,7 +140,11 @@ object TextOps {
       .as[(Long, String)]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        rows.map { case (id, text) =>
+        rows.flatMap { case (id, text) =>
+          // null text: the Column form's explode(split(null)) emitted no
+          // row, so the doc was absent — keep that contract
+          if (text == null) Iterator.empty
+          else Iterator.single {
           val toks = text.split(" ", -1)
           val votes = new Array[Int](bits)
           var i = 0
@@ -169,6 +173,7 @@ object TextOps {
             j += 1
           }
           (id, sig)
+          }
         }
       }
       .toDF("doc_id", "simhash")
@@ -428,11 +433,16 @@ object TextOps {
       .as[(Long, String)]
       .mapPartitions { rows =>
         rows.flatMap { case (id, text) =>
-          val toks = text.split(" ", -1)
-          if (toks.length < 3) Iterator.empty
+          // null text: the Column form's size(split(null)) = -1 failed
+          // the >= 3 filter, so the doc was absent — keep that contract
+          if (text == null) Iterator.empty
           else {
-            val (best, dup) = ngramRepetition(toks, withTrigrams = true)
-            Iterator.single((id, (toks.length - 1).toLong, best, dup))
+            val toks = text.split(" ", -1)
+            if (toks.length < 3) Iterator.empty
+            else {
+              val (best, dup) = ngramRepetition(toks, withTrigrams = true)
+              Iterator.single((id, (toks.length - 1).toLong, best, dup))
+            }
           }
         }
       }
@@ -509,10 +519,16 @@ object TextOps {
       .as[(Long, String, String)]
       .mapPartitions { rows =>
         rows.map { case (id, lang, text) =>
-          val toks = text.split(" ", -1)
-          val mx =
-            if (toks.length >= 2) ngramRepetition(toks, withTrigrams = false)._1 else 0L
-          (id, lang, toks.length, mx)
+          // null text: the Column form read size(split(null)) = -1 and
+          // mx = 0 (the nTok >= 2 guard) — keep those exact values so
+          // the first-failing-reason precedence is unchanged
+          if (text == null) (id, lang, -1, 0L)
+          else {
+            val toks = text.split(" ", -1)
+            val mx =
+              if (toks.length >= 2) ngramRepetition(toks, withTrigrams = false)._1 else 0L
+            (id, lang, toks.length, mx)
+          }
         }
       }
       .toDF("doc_id", "lang", "n_tokens", "mx")

@@ -439,6 +439,13 @@ object StreamOps {
     }
     initialDigests match {
       case Some(store) =>
+        // same loud store-format check as the batch flaggedWindows: a
+        // pre-round-8 hex-string store would silently preload state
+        // keys that never match the binary stream digests
+        require(store.schema("h").dataType == org.apache.spark.sql.types.BinaryType,
+          s"initialDigests.h must be BINARY (raw md5 bytes, the round-8 store " +
+            s"format); got ${store.schema("h").dataType} — re-derive the store " +
+            "with Dedup.windowDigests()")
         val init = store.select(col("h")).as[Array[Byte]]
           .groupByKey(identity).mapValues(_ => true)
         occ.flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout, init)(fn)

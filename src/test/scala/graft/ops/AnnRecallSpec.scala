@@ -329,6 +329,13 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(bits(Similarity.clusterBoost(d)) == bits(columnForm(d, 8, 3.0)))
     assert(bits(Similarity.clusterBoost(d, nClusters = 5, strength = 1.5)) ==
       bits(columnForm(d, 5, 1.5)))
+    // double-element input (e.g. re-boosting a boosted frame): the
+    // Column form's x.cast("double") is a no-op there — the typed pass
+    // must pass doubles through untouched, not narrow via float
+    val dd = Similarity.clusterBoost(d).cache()
+    assert(bits(Similarity.clusterBoost(dd, nClusters = 3, strength = 0.25)) ==
+      bits(columnForm(dd, 3, 0.25)))
+    dd.unpersist()
   }
 
   test("lshBuckets typed pass is bit-identical to the Column-expression form") {

@@ -47,10 +47,9 @@ else
     # stale-state guard: the judged metrics must come from THIS run —
     # the python below reads the JSON line from $OUT/bench.log, never
     # from repo state, and the gate FAILS on a nonzero bench exit
-    # instead of swallowing it. (An earlier rm -f of the git-tracked
-    # BENCH/last_bench.json bought nothing on top of that and left the
-    # tracked file deleted in the working tree when the bench arm
-    # crashed — round-7 ADVICE item.)
+    # instead of swallowing it. (An earlier rm -f of
+    # BENCH/last_bench.json bought nothing on top of that — round-7
+    # ADVICE item.)
     if ! SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
         sbt -batch "runMain graft.Bench" > "$OUT/bench.log" 2>&1; then
       tail -5 "$OUT/bench.log" >&2
